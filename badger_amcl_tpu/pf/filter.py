@@ -1,0 +1,297 @@
+"""The particle filter core as pure functional transforms.
+
+Re-expresses `ParticleFilter` (src/amcl/pf/particle_filter.cpp) over dense
+`(M, 3)` pose arrays:
+
+- `init_with_gaussian`   <- initWithGaussian (particle_filter.cpp:106-133)
+- `init_with_poses`      <- initWithPoseFn (particle_filter.cpp:136-162)
+- `sensor_update`        <- updateSensor incl. w_slow/w_fast augmented-MCL
+                            running averages (particle_filter.cpp:223-267)
+- `resample`             <- updateResample + resampleSystematic/Multinomial
+                            with random-pose injection and the KLD population
+                            bound (particle_filter.cpp:269-471)
+- `update_converged`     <- updateConverged (particle_filter.cpp:170-220)
+
+KLD adaptivity under static shapes: arrays stay at `max_samples` capacity and
+a traced `n_active` masks the tail; the mid-stream KLD stop of the reference's
+multinomial loop (break when sample_count > resampleLimit(leaf_count),
+particle_filter.cpp:416) is reproduced exactly by drawing all `max_samples`
+candidates up front (iid draws commute) and computing the stopping index from
+the prefix-scan of first-occurrence bin flags.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from badger_amcl_tpu.pf import cluster, gaussian, kld
+from badger_amcl_tpu.pf.types import ClusterStats, MCLState, PFParams
+
+
+class ResampleModel(enum.IntEnum):
+    """PFResampleModelType (particle_filter.h; default multinomial,
+    particle_filter.cpp:46)."""
+
+    MULTINOMIAL = 0
+    SYSTEMATIC = 1
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+
+
+def _finalize_init(params, poses, key, alpha_slow, alpha_fast) -> MCLState:
+    m = params.max_samples
+    weights = jnp.full((m,), 1.0 / m, jnp.float32)
+    active = jnp.ones((m,), bool)
+    stats = cluster.compute_cluster_stats(poses, weights, active, params)
+    return MCLState(
+        poses=poses,
+        weights=weights,
+        n_active=jnp.int32(m),
+        key=key,
+        w_slow=jnp.float32(0.0),
+        w_fast=jnp.float32(0.0),
+        alpha_slow=jnp.float32(alpha_slow),
+        alpha_fast=jnp.float32(alpha_fast),
+        converged=jnp.array(False),  # initConverged (particle_filter.cpp:164-168)
+        stats=stats,
+    )
+
+
+def init_with_gaussian(
+    params: PFParams,
+    key: jax.Array,
+    mean,
+    cov,
+    alpha_slow: float = 0.001,
+    alpha_fast: float = 0.1,
+) -> MCLState:
+    """initWithGaussian: max_samples poses from N(mean, cov), uniform weights,
+    reset recovery averages, recompute cluster stats."""
+    key, sub = jax.random.split(key)
+    poses = gaussian.sample_poses(sub, jnp.asarray(mean), jnp.asarray(cov), params.max_samples)
+    return _finalize_init(params, poses, key, alpha_slow, alpha_fast)
+
+
+def init_with_poses(
+    params: PFParams,
+    key: jax.Array,
+    poses: jnp.ndarray,
+    alpha_slow: float = 0.001,
+    alpha_fast: float = 0.1,
+) -> MCLState:
+    """initWithPoseFn: the caller supplies max_samples pre-drawn poses (the
+    batched equivalent of calling the uniform pose generator per particle)."""
+    assert poses.shape == (params.max_samples, 3)
+    return _finalize_init(params, poses.astype(jnp.float32), key, alpha_slow, alpha_fast)
+
+
+# ---------------------------------------------------------------------------
+# Sensor update
+
+
+def sensor_update(
+    state: MCLState,
+    p_model: jnp.ndarray,
+    map_factor: Optional[jnp.ndarray] = None,
+) -> MCLState:
+    """Apply a measurement model's multiplicative particle likelihoods.
+
+    p_model: (M,) per-particle likelihood combination from the sensor model
+             (e.g. 1 + sum pz^3). Multiplied into the weights exactly as
+             `sample->weight *= p` does in the model loops.
+    map_factor: (M,) off-map / non-free-space penalty factors
+             (recalcWeight, planar_scanner.cpp:642-682) — applied only when
+             the model's total weight is positive, matching
+             `if (rv > 0.0) rv = recalcWeight(set)` (planar_scanner.cpp:159-162).
+
+    Then normalize and update the w_slow/w_fast augmented-MCL averages
+    (particle_filter.cpp:237-266); zero total resets to uniform.
+    """
+    active = state.active_mask
+    w1 = jnp.where(active, state.weights * p_model, 0.0)
+    t1 = jnp.sum(w1)
+    if map_factor is None:
+        w2, t2 = w1, t1
+    else:
+        w2 = jnp.where(active, w1 * map_factor, 0.0)
+        t2 = jnp.sum(w2)
+    w_unnorm = jnp.where(t1 > 0.0, w2, w1)
+    total = jnp.where(t1 > 0.0, t2, 0.0)
+
+    n = state.n_active.astype(jnp.float32)
+    w_avg = total / jnp.maximum(n, 1.0)
+    new_wslow = jnp.where(
+        state.w_slow == 0.0,
+        w_avg,
+        state.w_slow + state.alpha_slow * (w_avg - state.w_slow),
+    )
+    new_wfast = jnp.where(
+        state.w_fast == 0.0,
+        w_avg,
+        state.w_fast + state.alpha_fast * (w_avg - state.w_fast),
+    )
+
+    uniform = jnp.where(active, 1.0 / jnp.maximum(n, 1.0), 0.0)
+    ok = total > 0.0
+    new_weights = jnp.where(ok, w_unnorm / jnp.where(ok, total, 1.0), uniform)
+    return state.replace(
+        weights=new_weights.astype(jnp.float32),
+        w_slow=jnp.where(ok, new_wslow, state.w_slow),
+        w_fast=jnp.where(ok, new_wfast, state.w_fast),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Convergence
+
+
+def update_converged(state: MCLState, params: PFParams) -> MCLState:
+    """updateConverged (particle_filter.cpp:170-220): fraction of particles
+    within dist_threshold (L-inf, 0.5 m) of the unweighted x/y mean."""
+    active = state.active_mask
+    n = jnp.maximum(state.n_active.astype(jnp.float32), 1.0)
+    mx = jnp.sum(jnp.where(active, state.poses[:, 0], 0.0)) / n
+    my = jnp.sum(jnp.where(active, state.poses[:, 1], 0.0)) / n
+    within = (
+        (jnp.abs(state.poses[:, 0] - mx) <= params.dist_threshold)
+        & (jnp.abs(state.poses[:, 1] - my) <= params.dist_threshold)
+        & active
+    )
+    pct = 100.0 * jnp.sum(within).astype(jnp.float32) / n
+    return state.replace(converged=pct >= params.convergence_threshold)
+
+
+# ---------------------------------------------------------------------------
+# Resampling
+
+
+def _pick_indices(weights, r):
+    """Discrete-event sampling: index i such that cum[i-1] <= r < cum[i]
+    (the linear scans at particle_filter.cpp:312-315,394-398)."""
+    cum = jnp.cumsum(weights)
+    idx = jnp.searchsorted(cum, r, side="right")
+    return jnp.clip(idx, 0, weights.shape[0] - 1)
+
+
+def _resample_multinomial(
+    state: MCLState, params: PFParams, w_diff, random_pose_pool, key
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """resampleMultinomial (particle_filter.cpp:356-420): iid draws with
+    per-draw random-pose injection (prob w_diff) and the mid-stream KLD stop.
+
+    Returns (new_poses (M, 3), new_count scalar int32)."""
+    m = params.max_samples
+    k1, k2 = jax.random.split(key)
+    use_random = jax.random.uniform(k1, (m,)) < w_diff
+    r = jax.random.uniform(k2, (m,))
+    idx = _pick_indices(state.weights, r)
+    picked = state.poses[idx]
+    new_poses = jnp.where(use_random[:, None], random_pose_pool, picked)
+
+    # Stop index: first n (1-based) with n > resampleLimit(bins among first n)
+    packed, _ = kld.pack_keys(kld.bin_keys(new_poses), jnp.ones((m,), bool))
+    is_new, _, _ = kld.first_occurrence_flags(packed, jnp.ones((m,), bool))
+    k_n = jnp.cumsum(is_new.astype(jnp.int32))
+    limit_n = kld.resample_limit(
+        k_n, params.min_samples, params.max_samples, params.pop_err, params.pop_z
+    )
+    n_1based = jnp.arange(1, m + 1, dtype=jnp.int32)
+    stop = n_1based > limit_n
+    new_count = jnp.where(jnp.any(stop), jnp.argmax(stop).astype(jnp.int32) + 1, m)
+    return new_poses, new_count
+
+
+def _resample_systematic(
+    state: MCLState, params: PFParams, w_diff, random_pose_pool, key
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """resampleSystematic (particle_filter.cpp:269-354): target count from the
+    *previous* set's leaf count, inflated by w_diff for random injection,
+    low-variance comb over the cumulative weights for the rest."""
+    m = params.max_samples
+    k_old = kld.leaf_count(state.poses, state.active_mask)
+    base_count = kld.resample_limit(
+        k_old, params.min_samples, params.max_samples, params.pop_err, params.pop_z
+    )
+    inflated = jnp.minimum(
+        jnp.int32(m), (base_count.astype(jnp.float32) * (1.0 + w_diff)).astype(jnp.int32)
+    )  # C++ int conversion truncates (particle_filter.cpp:296-303)
+    new_count = jnp.where(w_diff > 0.0, inflated, base_count)
+    num_random = (w_diff * new_count.astype(jnp.float32)).astype(jnp.int32)
+    num_sys = jnp.maximum(new_count - num_random, 1)
+
+    start = jax.random.uniform(key, ())
+    delta = 1.0 / num_sys.astype(jnp.float32)
+    i = jnp.arange(m, dtype=jnp.int32)
+    t = jnp.mod(start + (i - num_random).astype(jnp.float32) * delta, 1.0)
+    idx = _pick_indices(state.weights, t)
+    picked = state.poses[idx]
+    new_poses = jnp.where((i < num_random)[:, None], random_pose_pool, picked)
+    return new_poses, new_count
+
+
+def resample(
+    state: MCLState,
+    params: PFParams,
+    random_pose_pool: jnp.ndarray,
+    model: ResampleModel = ResampleModel.MULTINOMIAL,
+) -> MCLState:
+    """updateResample (particle_filter.cpp:423-471).
+
+    random_pose_pool: (M, 3) pre-drawn candidate random poses (the batched
+    random_pose_fn; see node.random_pose_pool). Consumed only as far as the
+    injection count requires."""
+    key, sub = jax.random.split(state.key)
+    # w_diff = max(0, 1 - w_fast/w_slow); guard w_slow == 0 (the reference
+    # would produce NaN there, which its comparisons treat as 0 — we make the
+    # equivalence explicit).
+    w_diff = jnp.where(
+        state.w_slow > 0.0,
+        jnp.maximum(0.0, 1.0 - state.w_fast / jnp.where(state.w_slow > 0, state.w_slow, 1.0)),
+        0.0,
+    )
+
+    if model == ResampleModel.SYSTEMATIC:
+        new_poses, new_count = _resample_systematic(
+            state, params, w_diff, random_pose_pool, sub
+        )
+    else:
+        new_poses, new_count = _resample_multinomial(
+            state, params, w_diff, random_pose_pool, sub
+        )
+
+    m = params.max_samples
+    active = jnp.arange(m) < new_count
+    weights = jnp.where(active, 1.0 / new_count.astype(jnp.float32), 0.0)
+
+    # Reset averages to avoid spiraling into randomness (particle_filter.cpp:453-455)
+    reset = w_diff > 0.0
+    new_state = state.replace(
+        poses=new_poses.astype(jnp.float32),
+        weights=weights.astype(jnp.float32),
+        n_active=new_count.astype(jnp.int32),
+        key=key,
+        w_slow=jnp.where(reset, 0.0, state.w_slow),
+        w_fast=jnp.where(reset, 0.0, state.w_fast),
+    )
+    stats = cluster.compute_cluster_stats(
+        new_state.poses, new_state.weights, new_state.active_mask, params
+    )
+    new_state = new_state.replace(stats=stats)
+    return update_converged(new_state, params)
+
+
+# ---------------------------------------------------------------------------
+# Introspection helpers (getClusterStats / getMaxWeightPose equivalents)
+
+
+def max_weight_cluster(stats: ClusterStats):
+    """Argmax-weight cluster's (weight, mean) — the published pose hypothesis
+    (getMaxWeightPose, node_2d.cpp:588-617)."""
+    cidx = jnp.argmax(stats.cluster_weights)
+    return stats.cluster_weights[cidx], stats.cluster_means[cidx]
