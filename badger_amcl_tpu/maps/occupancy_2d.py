@@ -24,6 +24,7 @@ import dataclasses
 import enum
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -204,3 +205,26 @@ class OccupancyMap2D:
             free = free & far
         j, i = np.nonzero(free)
         return np.stack([i, j], axis=1).astype(np.int32)
+
+
+# Register as a pytree so jitted kernels take the map as an argument (textures
+# as leaves, geometry as hashable aux data) instead of baking the textures
+# into the compiled HLO as constants.
+def _occ_flatten(m: OccupancyMap2D):
+    leaves = (m.cells, m.distances)
+    aux = (m.resolution, m.size_x, m.size_y, m.origin_x, m.origin_y,
+           m.max_distance_to_object, m.distances is None)
+    return leaves, aux
+
+
+def _occ_unflatten(aux, leaves):
+    res, sx, sy, ox, oy, maxd, no_dist = aux
+    cells, distances = leaves
+    return OccupancyMap2D(
+        resolution=res, size_x=sx, size_y=sy, origin_x=ox, origin_y=oy,
+        cells=cells, distances=None if no_dist else distances,
+        max_distance_to_object=maxd,
+    )
+
+
+jax.tree_util.register_pytree_node(OccupancyMap2D, _occ_flatten, _occ_unflatten)

@@ -27,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -200,3 +201,39 @@ class OctoMap3D:
         j = np.arange(self.min_cells[1], self.max_cells[1])
         gi, gj = np.meshgrid(i, j, indexing="ij")
         return np.stack([gi.ravel(), gj.ravel()], axis=1).astype(np.int32)
+
+
+# pytree registration: uint8 texture as the leaf, geometry as aux data.
+# occupied_cells stays host-side (aux, hashed by identity) — it is
+# construction scaffolding, never touched inside jit.
+class _HashById:
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+    def __hash__(self):
+        return id(self.value)
+
+    def __eq__(self, other):
+        return isinstance(other, _HashById) and other.value is self.value
+
+
+def _octo_flatten(m: OctoMap3D):
+    leaves = (m.distances_u8,)
+    aux = (m.resolution, m.max_distance_to_object, m.min_cells, m.max_cells,
+           _HashById(m.occupied_cells), m.distances_u8 is None)
+    return leaves, aux
+
+
+def _octo_unflatten(aux, leaves):
+    res, maxd, mins, maxs, occ, no_dist = aux
+    (dist,) = leaves
+    return OctoMap3D(
+        resolution=res, max_distance_to_object=maxd, min_cells=mins,
+        max_cells=maxs, occupied_cells=occ.value,
+        distances_u8=None if no_dist else dist,
+    )
+
+
+jax.tree_util.register_pytree_node(OctoMap3D, _octo_flatten, _octo_unflatten)
