@@ -144,6 +144,11 @@ class AMCLConfig:
     global_localization_laser_off_map_factor: float = 1.0
     global_localization_laser_non_free_space_factor: float = 1.0
 
+    # --- compute backend (new; no reference equivalent) ---
+    # "auto" -> Pallas TPU kernels on TPU backends, plain XLA elsewhere;
+    # "xla" forces the exact float32 reference path everywhere.
+    compute_backend: str = "auto"
+
     # --- map handling (node_2d.cpp:49,93-98; node_3d.cpp:58-59,94) ---
     first_map_only: bool = False
     map_scale_up_factor: int = 1

@@ -1,0 +1,148 @@
+"""Fleet-scale batching: many robots, one program, a TPU mesh.
+
+New capability beyond the reference (whose multi-robot story is "run one ROS
+node per robot", SURVEY.md §2): the full MCL step is vmapped over a robot
+axis and sharded over a `jax.sharding.Mesh` with `shard_map`. Each robot
+carries its own PRNG key, map is replicated (fleets share a facility map),
+scans/poses/pools are sharded along the fleet axis. No collectives are
+needed in the hot path — robots are independent — so scaling is embarrassingly
+parallel over ICI; cross-robot aggregation (fleet health stats) is one psum.
+
+Targets BASELINE.json config 5: 256 robots x 10k particles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from badger_amcl_tpu import mcl
+from badger_amcl_tpu.pf import filter as pf_filter
+from badger_amcl_tpu.pf.filter import ResampleModel
+from badger_amcl_tpu.pf.types import PFParams
+from badger_amcl_tpu.sensors import odom as odom_models
+
+
+def fleet_init(params: PFParams, key: jax.Array, means, covs,
+               alpha_slow=0.001, alpha_fast=0.1):
+    """Stacked MCLState for R robots: means (R, 3), covs (R, 3, 3)."""
+    r = means.shape[0]
+    keys = jax.random.split(key, r)
+    return jax.vmap(
+        lambda k, m, c: pf_filter.init_with_gaussian(params, k, m, c, alpha_slow, alpha_fast)
+    )(keys, jnp.asarray(means, jnp.float32), jnp.asarray(covs, jnp.float32))
+
+
+def fleet_step(
+    states,
+    omap,
+    scan_params,
+    scans,
+    pools,
+    odom_poses,
+    odom_deltas,
+    absolute_motions,
+    alphas,
+    params: PFParams,
+    odom_model: odom_models.OdomModel = odom_models.OdomModel.DIFF,
+    laser_model: str = "likelihood_field",
+    resample_model: ResampleModel = ResampleModel.MULTINOMIAL,
+):
+    """One full MCL step for every robot. Leading axis R on states, scans,
+    pools, odometry; map and model parameters broadcast."""
+    step = functools.partial(
+        mcl.mcl_step_2d,
+        params=params,
+        odom_model=odom_model,
+        laser_model=laser_model,
+        resample_model=resample_model,
+        do_resample=True,
+    )
+    return jax.vmap(
+        step, in_axes=(0, None, None, 0, 0, 0, 0, 0, None)
+    )(states, omap, scan_params, scans, pools, odom_poses, odom_deltas,
+      absolute_motions, alphas)
+
+
+def make_fleet_step(params: PFParams, odom_model=odom_models.OdomModel.DIFF,
+                    laser_model="likelihood_field",
+                    resample_model=ResampleModel.MULTINOMIAL):
+    """Jitted single-host fleet step."""
+    return jax.jit(
+        functools.partial(
+            fleet_step, params=params, odom_model=odom_model,
+            laser_model=laser_model, resample_model=resample_model,
+        )
+    )
+
+
+def make_sharded_fleet_step(
+    mesh: Mesh,
+    params: PFParams,
+    axis: str = "fleet",
+    odom_model=odom_models.OdomModel.DIFF,
+    laser_model="likelihood_field",
+    resample_model=ResampleModel.MULTINOMIAL,
+):
+    """The multi-chip fleet step: robots sharded along `axis`, map replicated.
+
+    Robots are independent, so the per-shard program is just the local vmapped
+    step; XLA lays the fleet axis out over ICI with zero hot-path collectives.
+    Requires the robot count to divide the mesh axis size.
+    """
+    local = functools.partial(
+        fleet_step, params=params, odom_model=odom_model,
+        laser_model=laser_model, resample_model=resample_model,
+    )
+    sharded = P(axis)
+    replicated = P()
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(sharded, replicated, replicated, sharded, sharded,
+                  sharded, sharded, sharded, replicated),
+        out_specs=sharded,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def fleet_health(states, mesh: Optional[Mesh] = None, axis: str = "fleet"):
+    """Cross-fleet aggregate: per-robot (converged, n_active, max cluster
+    weight) plus fleet means — the one place a collective appears.
+    Works on sharded or local states."""
+    def summarize(states):
+        w = jnp.max(states.stats.cluster_weights, axis=-1)
+        return {
+            "converged_frac": jnp.mean(states.converged.astype(jnp.float32)),
+            "mean_active": jnp.mean(states.n_active.astype(jnp.float32)),
+            "mean_top_weight": jnp.mean(w),
+        }
+
+    if mesh is None:
+        return jax.jit(summarize)(states)
+
+    def local(states):
+        w = jnp.max(states.stats.cluster_weights, axis=-1)
+        n = states.converged.shape[0]
+        conv = jax.lax.psum(jnp.sum(states.converged.astype(jnp.float32)), axis)
+        act = jax.lax.psum(jnp.sum(states.n_active.astype(jnp.float32)), axis)
+        topw = jax.lax.psum(jnp.sum(w), axis)
+        total = jax.lax.psum(jnp.float32(n), axis)
+        return {
+            "converged_frac": conv / total,
+            "mean_active": act / total,
+            "mean_top_weight": topw / total,
+        }
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P(axis),), out_specs=P(),
+                   check_vma=False)
+    return jax.jit(fn)(states)

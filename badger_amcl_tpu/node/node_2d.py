@@ -36,21 +36,22 @@ log = logging.getLogger("badger_amcl_tpu")
 SCAN_WATCHDOG_INTERVAL = 15.0  # node_2d.cpp:107-110
 
 
-@functools.partial(jax.jit, static_argnames=("model", "do_beamskip"))
-def _sensor_update_jit(state, omap, params, scan, model, do_beamskip):
+@functools.partial(jax.jit, static_argnames=("model", "do_beamskip", "backend"))
+def _sensor_update_jit(state, omap, params, scan, model, do_beamskip, backend):
     p, mf = planar_likelihood(
         omap, params, scan, state.poses, state.active_mask, state.n_active,
         model, converged=state.converged, do_beamskip=do_beamskip,
+        backend=backend,
     )
     return pf_filter.sensor_update(state, p, mf)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "do_beamskip"))
-def _score_poses_jit(omap, params, scan, poses, model, do_beamskip):
+@functools.partial(jax.jit, static_argnames=("model", "do_beamskip", "backend"))
+def _score_poses_jit(omap, params, scan, poses, model, do_beamskip, backend):
     n = poses.shape[0]
     p, mf = planar_likelihood(
         omap, params, scan, poses, jnp.ones((n,), bool), jnp.int32(n),
-        model, converged=jnp.array(False), do_beamskip=False,
+        model, converged=jnp.array(False), do_beamskip=False, backend=backend,
     )
     return p * mf  # fake 1-weight sample through the full model (scorePose)
 
@@ -67,6 +68,12 @@ class Node2D(Node):
         self.scanner_params: List[PlanarScanParams] = []
         self.scanners_update: List[bool] = []
         self._base_params = self._make_params()
+        if config.compute_backend == "auto":
+            from badger_amcl_tpu.mcl import default_backend
+
+            self.backend = default_backend()
+        else:
+            self.backend = config.compute_backend
 
     # --------------------------------------------------------------- params
 
@@ -244,6 +251,7 @@ class Node2D(Node):
             pscan,
             cfg.laser_model_type.value,
             cfg.do_beamskip,
+            self.backend,
         )
         self.scanners_update[scanner_index] = False
         self.resample_count += 1
@@ -264,7 +272,7 @@ class Node2D(Node):
             return jnp.ones((poses.shape[0],), jnp.float32)
         return _score_poses_jit(
             self.map, self._base_params, self.latest_scan, poses,
-            self.config.laser_model_type.value, False,
+            self.config.laser_model_type.value, False, self.backend,
         )
 
     # ------------------------------------------------------------- watchdog

@@ -4,11 +4,21 @@ cluster/set statistics.
 The reference flood-fills the kd-tree: two bins belong to one cluster when
 their keys are within the 3x3x3 neighborhood (pf_kdtree.cpp:58-76,169-194),
 and statistics accumulate per cluster with circular yaw means
-(particle_filter.cpp:505-636). Recursion over tree nodes becomes iterated
-min-label propagation over a sorted unique-bin table with 26 searchsorted
-neighbor probes — shape-static, fixpoint-terminated, jit-compatible.
+(particle_filter.cpp:505-636).
 
-Cluster *numbering* differs from the reference (ours is by minimum bin rank,
+TPU-first design: the occupied bins live in a dense 3D grid (see kld.py).
+Component labels start as each occupied cell's own flat index and diffuse by
+*separable 3x3x3 min-dilation* — three axis passes of min(g, roll(g, +-1)),
+six rolls per sweep, masked back to occupied cells — iterated under a
+`lax.while_loop` until fixpoint. Rolls are contiguous vector moves, so the
+whole clustering is scatter + rolls + elementwise: no sort, no searchsorted,
+no per-element gather loops (the earlier sorted-key formulation spent
+~200 ms/step at 50k particles on exactly those).
+
+Label compaction to dense segment ids uses a cumulative sum of root flags
+over the grid — again O(cells) vector work.
+
+Cluster *numbering* differs from the reference (ours is by grid-cell rank,
 the reference's by DFS discovery order); the set of clusters and their
 weights/means/covariances — the quantities that determine the published pose
 (getMaxWeightPose, node_2d.cpp:588-617) — are identical.
@@ -22,84 +32,41 @@ import jax.numpy as jnp
 from badger_amcl_tpu.pf import kld
 from badger_amcl_tpu.pf.types import ClusterStats
 
-_NEIGHBOR_OFFSETS = [
-    (di, dj, dk)
-    for di in (-1, 0, 1)
-    for dj in (-1, 0, 1)
-    for dk in (-1, 0, 1)
-    if not (di == 0 and dj == 0 and dk == 0)
-]
+
+def _box_min(g3):
+    """Separable 3x3x3 minimum (Moore neighborhood incl. self) via rolls.
+
+    The 1-cell empty border maintained by kld.grid_cells keeps roll wrap-around
+    from leaking labels across the grid."""
+    for axis in range(3):
+        g3 = jnp.minimum(
+            g3, jnp.minimum(jnp.roll(g3, 1, axis=axis), jnp.roll(g3, -1, axis=axis))
+        )
+    return g3
 
 
-def _unique_bins(packed, rel, active):
-    """Compact active particles' bins into a sorted unique table of capacity M.
+def _cluster_grid(occ_flat, shape):
+    """Label the occupied-bin grid by connected component (26-neighborhood).
 
-    Returns (ubin_packed (M,) sorted with SENTINEL tail, ubin_rel (M,3),
-             nbins scalar, particle_bin (M,) bin rank per particle)."""
-    m = packed.shape[0]
-    order = jnp.argsort(packed, stable=True)
-    sp = packed[order]
-    srel = rel[order]
-    first = jnp.concatenate([jnp.ones((1,), bool), sp[1:] != sp[:-1]]) & (
-        sp != kld.SENTINEL
-    )
-    # bin rank for each sorted position: cumsum of first flags - 1
-    rank_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
-    nbins = jnp.sum(first).astype(jnp.int32)
-    # scatter unique keys to their rank
-    ubin_packed = jnp.full((m,), kld.SENTINEL, jnp.int32)
-    ubin_rel = jnp.zeros((m, 3), jnp.int32)
-    # scatter only first occurrences; everything else targets index m -> dropped
-    dst = jnp.where(first, rank_sorted, m)
-    ubin_packed = ubin_packed.at[dst].set(sp, mode="drop")
-    ubin_rel = ubin_rel.at[dst].set(srel, mode="drop")
-    # map back: particle at original index order[j] lives in bin rank_sorted[j]
-    particle_bin = jnp.zeros((m,), jnp.int32).at[order].set(rank_sorted)
-    return ubin_packed, ubin_rel, nbins, particle_bin
-
-
-def _neighbor_table(ubin_packed, ubin_rel, nbins):
-    """(26, M) int32 neighbor bin rank for each unique bin, -1 if absent."""
-    m = ubin_packed.shape[0]
-    valid_bin = jnp.arange(m) < nbins
-    cols = []
-    for di, dj, dk in _NEIGHBOR_OFFSETS:
-        off = kld.neighbor_offset_packed(di, dj, dk)
-        target = ubin_packed + off
-        ok = valid_bin & kld.rel_in_bounds(ubin_rel, di, dj, dk)
-        pos = jnp.searchsorted(ubin_packed, target)
-        pos = jnp.clip(pos, 0, m - 1)
-        found = ok & (ubin_packed[pos] == target) & (target != kld.SENTINEL)
-        cols.append(jnp.where(found, pos, -1).astype(jnp.int32))
-    return jnp.stack(cols, axis=0)
-
-
-def _connected_components(neighbors, nbins, m):
-    """Min-label propagation with path compression until fixpoint.
-
-    neighbors: (26, M) bin-rank adjacency (-1 = none). Returns (M,) int32
-    root label per bin (labels are bin ranks; roots satisfy label[b] == b)."""
-    init = jnp.arange(m, dtype=jnp.int32)
-
-    def step(labels):
-        nb_labels = jnp.where(neighbors >= 0, labels[jnp.clip(neighbors, 0)], m)
-        best = jnp.minimum(labels, jnp.min(nb_labels, axis=0).astype(jnp.int32))
-        # path compression (labels point at smaller-ranked bins only)
-        best = labels[best]
-        best = labels[best]
-        return best
+    occ_flat: bool (gx*gy*ga,). Returns int32 flat label grid where occupied
+    cells hold their component's minimum flat cell index and empty cells hold
+    BIG."""
+    gx, gy, ga = shape
+    n = gx * gy * ga
+    occ3 = occ_flat.reshape(ga, gx, gy)  # (a, x, y) packing, see kld.grid_cells
+    init = jnp.where(occ3, jnp.arange(n, dtype=jnp.int32).reshape(ga, gx, gy), kld.BIG)
 
     def cond(carry):
-        labels, changed = carry
+        _, changed = carry
         return changed
 
     def body(carry):
         labels, _ = carry
-        new = step(labels)
+        new = jnp.where(occ3, _box_min(labels), kld.BIG)
         return new, jnp.any(new != labels)
 
     labels, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True)))
-    return labels
+    return labels.reshape(-1)
 
 
 def compute_cluster_stats(poses, weights, active, params) -> ClusterStats:
@@ -107,14 +74,24 @@ def compute_cluster_stats(poses, weights, active, params) -> ClusterStats:
     cluster the histogram, then accumulate per-cluster and whole-set
     weighted statistics with circular yaw means.
 
-    Segment ids in the returned arrays are *bin-rank root labels* (< M)."""
+    Segment ids in the returned arrays are dense cluster ranks (< M)."""
     m = poses.shape[0]
-    packed, rel = kld.pack_keys(kld.bin_keys(poses), active)
-    ubin_packed, ubin_rel, nbins, particle_bin = _unique_bins(packed, rel, active)
-    neighbors = _neighbor_table(ubin_packed, ubin_rel, nbins)
-    labels = _connected_components(neighbors, nbins, m)
+    shape = params.hist_shape
+    _, flat = kld.grid_cells(kld.bin_keys(poses), active, shape)
+    occ = kld.occupancy_grid(flat, active, shape)
+    labels_grid = _cluster_grid(occ, shape)
 
-    pc = jnp.where(active, labels[particle_bin], m - 1).astype(jnp.int32)
+    # dense re-ranking: root cells (label == own index) get consecutive ids
+    n_cells = labels_grid.shape[0]
+    cell_idx = jnp.arange(n_cells, dtype=jnp.int32)
+    is_root = occ & (labels_grid == cell_idx)
+    rank_grid = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # rank at root cells
+    cluster_count = jnp.sum(is_root).astype(jnp.int32)
+    # per-cell cluster rank: rank of the cell's label's root
+    cell_rank = rank_grid[jnp.clip(labels_grid, 0, n_cells - 1)]
+
+    pc = jnp.where(active, cell_rank[flat], m - 1).astype(jnp.int32)
+    pc = jnp.clip(pc, 0, m - 1)
 
     w = jnp.where(active, weights, 0.0)
     x, y, th = poses[:, 0], poses[:, 1], poses[:, 2]
@@ -133,9 +110,7 @@ def compute_cluster_stats(poses, weights, active, params) -> ClusterStats:
     cxy = seg(w * x * y)
     cyy = seg(w * y * y)
 
-    valid_bin = jnp.arange(m) < nbins
-    root = (labels == jnp.arange(m)) & valid_bin
-    cluster_count = jnp.sum(root).astype(jnp.int32)
+    root = jnp.arange(m) < cluster_count
 
     safe_w = jnp.where(cw > 0, cw, 1.0)
     mean_x = mx / safe_w
@@ -143,7 +118,8 @@ def compute_cluster_stats(poses, weights, active, params) -> ClusterStats:
     mean_a = jnp.arctan2(ms, mc)
     cluster_means = jnp.stack([mean_x, mean_y, mean_a], axis=1)
 
-    # covariance (normalizeCluster, particle_filter.cpp:555-568)
+    # covariance (normalizeCluster, particle_filter.cpp:555-568); the yaw
+    # variance uses the *raw* weighted cos/sin sums, as the reference does
     cov = jnp.zeros((m, 3, 3), jnp.float32)
     cov = cov.at[:, 0, 0].set(cxx / safe_w - mean_x * mean_x)
     cov = cov.at[:, 0, 1].set(cxy / safe_w - mean_x * mean_y)
@@ -163,9 +139,7 @@ def compute_cluster_stats(poses, weights, active, params) -> ClusterStats:
     set_cov = set_cov.at[0, 1].set(jnp.sum(w * x * y) / safe_tw - smx * smy)
     set_cov = set_cov.at[1, 0].set(set_cov[0, 1])
     set_cov = set_cov.at[1, 1].set(jnp.sum(w * y * y) / safe_tw - smy * smy)
-    # NOTE: like the cluster case, the reference uses the *raw* weighted
-    # cos/sin sums here (computeSetStats, particle_filter.cpp:635) — the
-    # normalized weights sum to 1 over the set, so this is well-formed.
+    # NOTE: raw weighted cos/sin sums (computeSetStats, particle_filter.cpp:635)
     sr = jnp.sqrt(smc * smc + sms * sms)
     set_cov = set_cov.at[2, 2].set(-2.0 * jnp.log(jnp.maximum(sr, 1e-30)))
 

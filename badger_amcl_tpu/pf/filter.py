@@ -195,8 +195,9 @@ def _resample_multinomial(
     new_poses = jnp.where(use_random[:, None], random_pose_pool, picked)
 
     # Stop index: first n (1-based) with n > resampleLimit(bins among first n)
-    packed, _ = kld.pack_keys(kld.bin_keys(new_poses), jnp.ones((m,), bool))
-    is_new, _, _ = kld.first_occurrence_flags(packed, jnp.ones((m,), bool))
+    ones = jnp.ones((m,), bool)
+    _, flat = kld.grid_cells(kld.bin_keys(new_poses), ones, params.hist_shape)
+    is_new = kld.first_occurrence_flags(flat, ones, params.hist_shape)
     k_n = jnp.cumsum(is_new.astype(jnp.int32))
     limit_n = kld.resample_limit(
         k_n, params.min_samples, params.max_samples, params.pop_err, params.pop_z
@@ -214,7 +215,7 @@ def _resample_systematic(
     *previous* set's leaf count, inflated by w_diff for random injection,
     low-variance comb over the cumulative weights for the rest."""
     m = params.max_samples
-    k_old = kld.leaf_count(state.poses, state.active_mask)
+    k_old = kld.leaf_count(state.poses, state.active_mask, params.hist_shape)
     base_count = kld.resample_limit(
         k_old, params.min_samples, params.max_samples, params.pop_err, params.pop_z
     )

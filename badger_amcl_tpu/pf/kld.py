@@ -3,17 +3,26 @@ bound.
 
 The reference tracks occupied histogram bins with an unbalanced kd-tree
 (src/amcl/pf/pf_kdtree.cpp) whose leaf count feeds `resampleLimit`
-(particle_filter.cpp:475-502). Pointer-chasing trees don't vectorize; we
-compute the same bin keys (floor(pose / [0.5 m, 0.5 m, 10 deg]),
-pf_kdtree.cpp:33-56), pack them into sortable int32 scalars *relative to the
-particle cloud's own bin extents*, and count distinct keys with a sort — an
-O(N log N) dense program whose leaf-count semantics match the tree exactly.
+(particle_filter.cpp:475-502). Pointer-chasing trees don't vectorize — and on
+TPU even sorted-key formulations lose, because sorts/searchsorted lower to
+scalar gather loops. So the histogram is a *dense 3D grid* over bin space
+(bins: floor(pose / [0.5 m, 0.5 m, 10 deg]), pf_kdtree.cpp:33-56), positioned
+relative to the particle cloud's own minimum bin:
 
-Packing budget: 11 bits x, 11 bits y, 7 bits yaw (relative). A particle
-cloud spreading over more than 2048 x/y bins (> 1 km) or 128 yaw bins
-(> 1270 deg of un-normalized yaw spread) would alias; both are far outside
-the operating envelope (the kidnapped-robot sweep in BASELINE.json is a
-warehouse-scale map).
+- occupied-bin count (== kd-tree leaf count): scatter ones, sum
+- first-occurrence-in-draw-order flags (the mid-stream KLD stop,
+  particle_filter.cpp:416): scatter-min of the draw index, one gather back
+- connected-component clustering: separable 26-neighborhood min-dilation
+  over the grid (see cluster.py)
+
+Everything is scatter + elementwise + roll — no sort, no searchsorted.
+
+Grid budget (PFParams.hist_x/y/a, default 256 x 256 x 40): x/y spreads up to
+127 m at 0.5 m bins and the full 2 pi of yaw bins. A more spread-out cloud
+clamps into the border bins — degrading the bin count conservatively (fewer
+bins -> smaller KLD population target), never crashing. Like the reference's
+kd-tree, yaw bins do NOT wrap at +-pi (pf_kdtree.cpp treats the yaw key as a
+plain integer), and particle yaw is never re-normalized.
 """
 
 from __future__ import annotations
@@ -27,9 +36,7 @@ CELL_X = 0.5
 CELL_Y = 0.5
 CELL_A = 10.0 * math.pi / 180.0
 
-_XBITS, _YBITS, _ABITS = 11, 11, 7
-_XMAX, _YMAX, _AMAX = (1 << _XBITS) - 1, (1 << _YBITS) - 1, (1 << _ABITS) - 1
-SENTINEL = jnp.int32(1 << 30)  # sorts after every valid packed key
+BIG = jnp.int32(2**30)
 
 
 def bin_keys(poses: jnp.ndarray) -> jnp.ndarray:
@@ -38,56 +45,51 @@ def bin_keys(poses: jnp.ndarray) -> jnp.ndarray:
     return jnp.floor(poses / cell).astype(jnp.int32)
 
 
-def pack_keys(keys3: jnp.ndarray, active: jnp.ndarray):
-    """Pack (N, 3) keys into sortable int32 scalars, relative to the active
-    minimum. Inactive entries get SENTINEL. Returns (packed (N,), rel (N, 3))."""
-    big = jnp.int32(2**30)
-    masked = jnp.where(active[:, None], keys3, big)
+def grid_cells(keys3: jnp.ndarray, active: jnp.ndarray, shape):
+    """Map bin keys to dense-grid cells relative to the active minimum.
+
+    Returns (cells (N, 3) int32 clamped to [1, size-2] — the 1-cell border
+    stays empty so roll-based dilation cannot wrap labels — and flat (N,)
+    flattened cell indices; inactive entries flattened to cell 0 with the
+    caller expected to mask them)."""
+    gx, gy, ga = shape
+    masked = jnp.where(active[:, None], keys3, BIG)
     mins = jnp.min(masked, axis=0)
-    mins = jnp.where(mins == big, 0, mins)  # all-inactive edge case
-    rel = jnp.clip(keys3 - mins[None, :], 0, jnp.array([_XMAX, _YMAX, _AMAX]))
-    packed = (rel[:, 0] << (_YBITS + _ABITS)) | (rel[:, 1] << _ABITS) | rel[:, 2]
-    packed = jnp.where(active, packed, SENTINEL)
-    return packed, rel
+    mins = jnp.where(mins == BIG, 0, mins)
+    sizes = jnp.array([gx - 2, gy - 2, ga - 2], jnp.int32)
+    rel = jnp.clip(keys3 - mins[None, :], 0, sizes - 1) + 1
+    # (a, x, y) packing: y (128 by default) lands on the TPU lane dimension,
+    # x on sublanes — rolls in cluster.py then move well-tiled registers
+    flat = (rel[:, 2] * gx + rel[:, 0]) * gy + rel[:, 1]
+    return rel, jnp.where(active, flat, 0)
 
 
-def neighbor_offset_packed(di: int, dj: int, dk: int) -> int:
-    """Packed-key delta for a (di, dj, dk) bin-neighborhood offset."""
-    return (di << (_YBITS + _ABITS)) + (dj << _ABITS) + dk
+def occupancy_grid(flat: jnp.ndarray, active: jnp.ndarray, shape) -> jnp.ndarray:
+    """bool (gx*gy*ga,) occupancy of the bin grid."""
+    gx, gy, ga = shape
+    n = gx * gy * ga
+    occ = jnp.zeros((n,), bool)
+    dst = jnp.where(active, flat, n)  # inactive -> dropped
+    return occ.at[dst].set(True, mode="drop")
 
 
-def rel_in_bounds(rel: jnp.ndarray, di: int, dj: int, dk: int) -> jnp.ndarray:
-    """Whether rel + offset stays inside the packing budget (no aliasing)."""
-    i = rel[..., 0] + di
-    j = rel[..., 1] + dj
-    k = rel[..., 2] + dk
-    return (i >= 0) & (i <= _XMAX) & (j >= 0) & (j <= _YMAX) & (k >= 0) & (k <= _AMAX)
+def leaf_count(poses: jnp.ndarray, active: jnp.ndarray, shape) -> jnp.ndarray:
+    """Occupied-bin count == kd-tree leaf count (pf_kdtree.cpp:92-95)."""
+    _, flat = grid_cells(bin_keys(poses), active, shape)
+    return jnp.sum(occupancy_grid(flat, active, shape)).astype(jnp.int32)
 
 
-def first_occurrence_flags(packed: jnp.ndarray, active: jnp.ndarray):
-    """For each entry (in *original draw order*), whether its bin key has not
-    appeared at any earlier active index. Used both for leaf counting and for
-    the mid-stream KLD stop in multinomial resampling
-    (particle_filter.cpp:416).
-
-    Returns (is_new (N,) bool, order (N,) argsort permutation,
-             sorted_packed (N,))."""
-    n = packed.shape[0]
-    order = jnp.argsort(packed, stable=True)  # stable: ties keep draw order
-    sp = packed[order]
-    first_sorted = jnp.concatenate(
-        [jnp.ones((1,), bool), sp[1:] != sp[:-1]]
-    ) & (sp != SENTINEL)
-    is_new = jnp.zeros((n,), bool).at[order].set(first_sorted)
-    return is_new & active, order, sp
-
-
-def leaf_count(poses: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
-    """Number of occupied histogram bins == kd-tree leaf count
-    (pf_kdtree.cpp:92-95)."""
-    packed, _ = pack_keys(bin_keys(poses), active)
-    is_new, _, _ = first_occurrence_flags(packed, active)
-    return jnp.sum(is_new).astype(jnp.int32)
+def first_occurrence_flags(flat: jnp.ndarray, active: jnp.ndarray, shape):
+    """Whether each entry's bin is unseen at any earlier active index —
+    scatter-min of the draw index, then compare. O(N) with one scatter and
+    one gather."""
+    gx, gy, ga = shape
+    n_cells = gx * gy * ga
+    n = flat.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    dst = jnp.where(active, flat, n_cells)
+    grid = jnp.full((n_cells,), BIG, jnp.int32).at[dst].min(idx, mode="drop")
+    return (grid[flat] == idx) & active
 
 
 def resample_limit(k, min_samples: int, max_samples: int, pop_err: float, pop_z: float):

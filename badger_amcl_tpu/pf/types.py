@@ -31,6 +31,16 @@ class PFParams(struct.PyTreeNode):
     # percent of particles within dist_threshold of the mean needed to declare
     # convergence (ctor arg global_localization_convergence_threshold)
     convergence_threshold: float = struct.field(pytree_node=False, default=95.0)
+    # dense KLD-histogram grid extents (bins of 0.5 m / 0.5 m / 10 deg; see
+    # kld.py). Defaults cover a 63 m x 63 m particle spread and the full yaw
+    # circle; spreads beyond that clamp into border bins (conservative).
+    hist_x: int = struct.field(pytree_node=False, default=128)
+    hist_y: int = struct.field(pytree_node=False, default=128)
+    hist_a: int = struct.field(pytree_node=False, default=40)
+
+    @property
+    def hist_shape(self):
+        return (self.hist_x, self.hist_y, self.hist_a)
 
 
 class ClusterStats(struct.PyTreeNode):

@@ -96,9 +96,23 @@ def apply_gompertz(params: PlanarScanParams, p):
     return p + params.output_shift
 
 
-def _beam_endpoints_dist(omap, scan, spose):
+def _beam_endpoints_dist(omap, scan, spose, backend="xla"):
     """Common LF-family front half: beam endpoints -> map cells -> distance
-    gather. Returns (z (N, B) meters, valid_beam (N->B,) mask)."""
+    gather. Returns (z (N, B) meters, valid_beam (N->B,) mask).
+
+    backend "pallas" routes the gather through the windowed one-hot MXU
+    kernel (ops/lf_kernel.py) with an automatic fallback to the XLA gather
+    when the particle cloud is too spread for the window; "xla" is the
+    exact float32 reference path."""
+    valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
+    if backend in ("pallas", "pallas_interpret"):
+        from badger_amcl_tpu.ops import lf_kernel
+
+        z = lf_kernel.lf_distances(
+            omap, spose, scan.ranges, scan.angles,
+            interpret=(backend == "pallas_interpret"),
+        )
+        return z, valid
     ranges = scan.ranges[None, :]
     angles = scan.angles[None, :]
     th = spose[:, 2:3] + angles
@@ -106,26 +120,25 @@ def _beam_endpoints_dist(omap, scan, spose):
     hy = spose[:, 1:2] + ranges * jnp.sin(th)
     ij = omap.world_to_map(jnp.stack([hx, hy], axis=-1))
     z = omap.distance_at(ij)  # off-map -> max_distance (planar_scanner.cpp:295-300)
-    valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
     return z, valid
 
 
-def _lf_model(omap, params, scan, spose):
+def _lf_model(omap, params, scan, spose, backend="xla"):
     """calcLikelihoodFieldModel (planar_scanner.cpp:236-323):
     pz = z_hit exp(-z^2/2s^2) + z_rand/range_max; p = 1 + sum pz^3 over
     valid beams (max-range and NaN beams skipped)."""
-    z, valid = _beam_endpoints_dist(omap, scan, spose)
+    z, valid = _beam_endpoints_dist(omap, scan, spose, backend)
     denom = 2.0 * params.sigma_hit * params.sigma_hit
     pz = params.z_hit * jnp.exp(-(z * z) / denom) + params.z_rand / scan.range_max
     pz3 = pz * pz * pz
     return 1.0 + jnp.sum(jnp.where(valid[None, :], pz3, 0.0), axis=1)
 
 
-def _lf_gompertz_model(omap, params, scan, spose):
+def _lf_gompertz_model(omap, params, scan, spose, backend="xla"):
     """calcLikelihoodFieldModelGompertz (planar_scanner.cpp:552-640):
     per-particle *mean* pz (note z_rand added raw, no /range_max) through the
     Gompertz squash; no valid beams -> p = 1."""
-    z, valid = _beam_endpoints_dist(omap, scan, spose)
+    z, valid = _beam_endpoints_dist(omap, scan, spose, backend)
     denom = 2.0 * params.sigma_hit * params.sigma_hit
     pz = params.z_hit * jnp.exp(-(z * z) / denom) + params.z_rand
     count = jnp.sum(valid)
@@ -134,7 +147,8 @@ def _lf_gompertz_model(omap, params, scan, spose):
     return jnp.where(count > 0, p, 1.0)
 
 
-def _lf_prob_model(omap, params, scan, spose, active, n_active, converged, do_beamskip):
+def _lf_prob_model(omap, params, scan, spose, active, n_active, converged, do_beamskip,
+                   backend="xla"):
     """calcLikelihoodFieldModelProb (planar_scanner.cpp:325-533), log-space
     product over valid beams, optional beam skipping.
 
@@ -146,7 +160,7 @@ def _lf_prob_model(omap, params, scan, spose, active, n_active, converged, do_be
     (max-range/NaN) beams carry pz = 0 in the temp matrix exactly like the
     reference's cleared temp buffers, so the error fallback reproduces its
     zero-weight collapse."""
-    z, valid = _beam_endpoints_dist(omap, scan, spose)
+    z, valid = _beam_endpoints_dist(omap, scan, spose, backend)
     denom = 2.0 * params.sigma_hit * params.sigma_hit
     pz = params.z_hit * jnp.exp(-(z * z) / denom) + params.z_rand / scan.range_max
     logpz = jnp.log(pz)
@@ -230,21 +244,24 @@ def planar_likelihood(
     model: str,
     converged=False,
     do_beamskip: bool = False,
+    backend: str = "xla",
 ):
     """applyModelToSampleSet (planar_scanner.cpp:141-164): returns
-    (p_model (N,), map_factor (N,)) to feed pf.sensor_update. `model` and
-    `do_beamskip` are static."""
+    (p_model (N,), map_factor (N,)) to feed pf.sensor_update. `model`,
+    `do_beamskip` and `backend` ("xla" | "pallas" | "pallas_interpret") are
+    static."""
     spose = coord_add(params.scanner_pose, poses)
     if model == "beam":
         p = _beam_model(omap, params, scan, spose)
     elif model == "likelihood_field":
-        p = _lf_model(omap, params, scan, spose)
+        p = _lf_model(omap, params, scan, spose, backend)
     elif model == "likelihood_field_prob":
         p = _lf_prob_model(
-            omap, params, scan, spose, active, n_active, converged, do_beamskip
+            omap, params, scan, spose, active, n_active, converged, do_beamskip,
+            backend,
         )
     elif model == "likelihood_field_gompertz":
-        p = _lf_gompertz_model(omap, params, scan, spose)
+        p = _lf_gompertz_model(omap, params, scan, spose, backend)
     else:  # pragma: no cover
         raise ValueError(f"unknown planar model {model!r}")
     return p, map_factors(omap, params, poses)

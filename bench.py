@@ -1,0 +1,106 @@
+"""Benchmark harness — run on the real TPU chip.
+
+Measures the BASELINE.md headline metrics on the flagship config
+(50k particles x 720 beams, warehouse-scale map, likelihood-field model):
+
+- particle x beam likelihood evals/sec/chip (target >= 100M)
+- full sensor-update + KLD-resample step latency (target < 1 ms/chip)
+
+Two regimes are measured: the steady-state *tracking* regime (converged
+cloud; the Pallas windowed-gather kernel runs) and the *spread* regime
+(global-localization-scale cloud; the XLA gather fallback runs). The
+primary metric is the tracking regime, which is where a production
+localizer spends its life. The population is pinned at 50k
+(min == max) so every iteration does full-size work regardless of the KLD
+bound. Prints ONE JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=50000)
+    ap.add_argument("--beams", type=int, default=720)
+    ap.add_argument("--map-cells", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--platform", default=None, help="override jax platform (e.g. cpu)")
+    ap.add_argument("--backend", default=None, help="force compute backend (xla/pallas)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from __graft_entry__ import _build_setup
+    from badger_amcl_tpu import mcl
+
+    device = jax.devices()[0]
+    backend = args.backend or mcl.default_backend()
+
+    def timed_chain(step_fn, state, iters):
+        s = step_fn(state)
+        jax.block_until_ready(s)
+        s = step_fn(s)
+        jax.block_until_ready(s)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = step_fn(s)
+        jax.block_until_ready(s)
+        return (time.perf_counter() - t0) / iters, s
+
+    results = {}
+    for regime, cov in (("tracking", (0.02, 0.02, 0.002)), ("spread", (2.0, 2.0, 1.0))):
+        omap, params, state, scan, scan_params, pool = _build_setup(
+            args.particles, args.beams, args.map_cells,
+            pose_cov=cov, min_particles=args.particles,
+        )
+        import jax.numpy as jnp
+
+        @jax.jit
+        def like_step(s):
+            # poses perturbed by the output so no dispatch can be elided
+            p = mcl.likelihood_only(s, omap, scan_params, scan, backend=backend)
+            return s.replace(poses=s.poses + (p * 1e-12)[:, None])
+
+        t_like, _ = timed_chain(like_step, state, args.iters)
+        t_step, s_end = timed_chain(
+            lambda s: mcl.sensor_resample_step_jit(
+                s, omap, scan_params, scan, pool, params, backend=backend
+            ),
+            state, args.iters,
+        )
+        results[regime] = {
+            "likelihood_ms": t_like * 1e3,
+            "step_ms": t_step * 1e3,
+            "evals_per_sec": args.particles * args.beams / t_like,
+        }
+
+    primary = results["tracking"]["evals_per_sec"]
+    out = {
+        "metric": "particle_beam_likelihood_evals_per_sec_per_chip",
+        "value": primary,
+        "unit": "evals/s",
+        # BASELINE.md target: >= 100M evals/s/chip
+        "vs_baseline": primary / 1e8,
+        "extra": {
+            "device": str(device),
+            "backend": backend,
+            "particles": args.particles,
+            "beams": args.beams,
+            "map_cells": args.map_cells,
+            "tracking": results["tracking"],
+            "spread": results["spread"],
+            "step_target_ms": 1.0,
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -15,10 +15,13 @@ from badger_amcl_tpu.pf.cluster import compute_cluster_stats
 from badger_amcl_tpu.pf.types import PFParams
 
 
+HIST = (64, 64, 40)
+
+
 def _leaf_count(poses):
     poses = jnp.asarray(poses, jnp.float32)
     active = jnp.ones((poses.shape[0],), bool)
-    return int(kld.leaf_count(poses, active))
+    return int(kld.leaf_count(poses, active, HIST))
 
 
 def _clusters(poses):
@@ -97,10 +100,20 @@ def test_first_occurrence_flags_draw_order():
         [[0, 0, 0], [5, 5, 0], [0.1, 0.1, 0.0], [5, 5, 1.0], [5.1, 5.1, 0.02]],
         jnp.float32,
     )
-    packed, _ = kld.pack_keys(kld.bin_keys(poses), jnp.ones((5,), bool))
-    is_new, _, _ = kld.first_occurrence_flags(packed, jnp.ones((5,), bool))
+    active = jnp.ones((5,), bool)
+    _, flat = kld.grid_cells(kld.bin_keys(poses), active, HIST)
+    is_new = kld.first_occurrence_flags(flat, active, HIST)
     # draws 0,1 new; 2 repeats bin of 0; 3 new (different yaw bin); 4 repeats 1
     assert np.asarray(is_new).tolist() == [True, True, False, True, False]
+
+
+def test_first_occurrence_respects_active_mask():
+    poses = jnp.array([[0, 0, 0], [0, 0, 0], [0.05, 0, 0]], jnp.float32)
+    active = jnp.array([False, True, True])
+    _, flat = kld.grid_cells(kld.bin_keys(poses), active, HIST)
+    is_new = kld.first_occurrence_flags(flat, active, HIST)
+    # entry 0 inactive: entry 1 is the first active occupant of the bin
+    assert np.asarray(is_new).tolist() == [False, True, False]
 
 
 def test_cluster_stats_weighted_moments():

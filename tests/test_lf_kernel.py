@@ -1,0 +1,108 @@
+"""Pallas windowed-gather likelihood kernel vs the XLA reference path.
+
+Runs the kernel in interpreter mode on CPU; the numerical contract is
+bf16-quantized texture values (<= ~0.2% of max distance), everything else
+identical, with automatic fallback to the XLA path when the particle cloud
+exceeds the window.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from badger_amcl_tpu.maps import CellState, OccupancyMap2D
+from badger_amcl_tpu.ops import lf_kernel
+from badger_amcl_tpu.sensors.planar import PlanarScan, PlanarScanParams, planar_likelihood
+
+
+@pytest.fixture(scope="module")
+def big_map():
+    rng = np.random.default_rng(4)
+    n = 320  # >= WIN_COLS so the kernel path is eligible
+    cells = np.full((n, n), int(CellState.FREE), np.int8)
+    cells[0:2, :] = cells[-2:, :] = int(CellState.OCCUPIED)
+    cells[:, 0:2] = cells[:, -2:] = int(CellState.OCCUPIED)
+    for _ in range(10):
+        cx, cy = rng.integers(20, n - 28, 2)
+        cells[cy : cy + 6, cx : cx + 6] = int(CellState.OCCUPIED)
+    return OccupancyMap2D.from_cells(cells, 0.05).with_distance_field(2.0)
+
+
+def _scan(b=64, range_max=6.0):
+    angles = jnp.linspace(-2.2, 2.2, b).astype(jnp.float32)
+    ranges = jnp.clip(2.0 + jnp.sin(angles * 5.0), 0.3, range_max - 0.1)
+    return PlanarScan(ranges=ranges, angles=angles, range_max=jnp.float32(range_max))
+
+
+def _tight_poses(n=600, seed=0):
+    key = jax.random.PRNGKey(seed)
+    return jnp.concatenate(
+        [0.15 * jax.random.normal(key, (n, 2)), 0.04 * jax.random.normal(key, (n, 1))],
+        axis=1,
+    ).astype(jnp.float32)
+
+
+def test_kernel_matches_xla_gather(big_map):
+    poses = _tight_poses()
+    scan = _scan()
+    _, _, fits = lf_kernel.window_origins(big_map, poses, scan.ranges, scan.angles)
+    assert bool(fits)
+    z_kernel = lf_kernel.lf_distances(
+        big_map, poses, scan.ranges, scan.angles, interpret=True
+    )
+    # XLA reference
+    th = poses[:, 2:3] + scan.angles[None, :]
+    hx = poses[:, 0:1] + scan.ranges[None, :] * jnp.cos(th)
+    hy = poses[:, 1:2] + scan.ranges[None, :] * jnp.sin(th)
+    ij = big_map.world_to_map(jnp.stack([hx, hy], axis=-1))
+    z_xla = big_map.distance_at(ij)
+    diff = np.abs(np.asarray(z_kernel) - np.asarray(z_xla))
+    assert diff.max() < 0.01  # bf16 texture quantization only
+    assert (diff > 0.005).mean() < 0.01
+
+
+def test_spread_cloud_falls_back(big_map):
+    key = jax.random.PRNGKey(3)
+    poses = jnp.concatenate(
+        [jax.random.uniform(key, (300, 2), minval=-7.0, maxval=7.0),
+         jax.random.uniform(key, (300, 1), minval=-3.0, maxval=3.0)],
+        axis=1,
+    ).astype(jnp.float32)
+    scan = _scan()
+    _, _, fits = lf_kernel.window_origins(big_map, poses, scan.ranges, scan.angles)
+    assert not bool(fits)
+    # fallback path must produce the exact XLA result
+    z = lf_kernel.lf_distances(big_map, poses, scan.ranges, scan.angles, interpret=True)
+    th = poses[:, 2:3] + scan.angles[None, :]
+    hx = poses[:, 0:1] + scan.ranges[None, :] * jnp.cos(th)
+    hy = poses[:, 1:2] + scan.ranges[None, :] * jnp.sin(th)
+    ij = big_map.world_to_map(jnp.stack([hx, hy], axis=-1))
+    z_xla = big_map.distance_at(ij)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_xla), atol=1e-6)
+
+
+def test_full_model_through_backend(big_map):
+    """planar_likelihood with backend='pallas_interpret' end to end."""
+    poses = _tight_poses(400, seed=5)
+    scan = _scan()
+    n = poses.shape[0]
+    params = PlanarScanParams()
+    p_x, mf_x = planar_likelihood(
+        big_map, params, scan, poses, jnp.ones((n,), bool), jnp.int32(n),
+        "likelihood_field",
+    )
+    p_k, mf_k = planar_likelihood(
+        big_map, params, scan, poses, jnp.ones((n,), bool), jnp.int32(n),
+        "likelihood_field", backend="pallas_interpret",
+    )
+    np.testing.assert_allclose(np.asarray(mf_k), np.asarray(mf_x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_x), rtol=0.02)
+
+
+def test_small_map_uses_xla(box_map):
+    """Maps smaller than the kernel window skip the kernel entirely."""
+    poses = _tight_poses(50, seed=6)
+    scan = _scan(16, range_max=4.0)
+    z = lf_kernel.lf_distances(box_map, poses, scan.ranges, scan.angles, interpret=True)
+    assert z.shape == (50, 16)
