@@ -190,6 +190,22 @@ class OctoMap3D:
         d = ratio.astype(jnp.float32) * self.max_distance_ratio
         return jnp.where(self.is_voxel_valid(ijk), d, self.max_distance_to_object)
 
+    def distances_lut_cloud(self, max_count: int = 1_000_000) -> np.ndarray:
+        """Debug dump of the LUT as an intensity point cloud — (K, 4) rows of
+        (x, y, z, distance) for voxels with distance < max, capped at
+        max_count (publishDistancesLUT, octomap.cpp:357-395)."""
+        if self.distances_u8 is None:
+            return np.zeros((0, 4))
+        ratios = np.asarray(self.distances_u8)
+        sel = ratios < 255
+        idx = np.argwhere(sel)
+        if len(idx) > max_count:
+            idx = idx[:max_count]
+        cells = idx + np.array(self.min_cells)
+        d = ratios[idx[:, 0], idx[:, 1], idx[:, 2]] * self.max_distance_ratio
+        world = cells.astype(np.float64) * self.resolution
+        return np.concatenate([world, d[:, None]], axis=1)
+
     # --- derived host-side products -------------------------------------------
 
     def free_space_indices(self) -> np.ndarray:

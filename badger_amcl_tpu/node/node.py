@@ -50,6 +50,7 @@ from badger_amcl_tpu.pf.filter import ResampleModel
 from badger_amcl_tpu.pf.types import PFParams
 from badger_amcl_tpu.sensors import odom as odom_models
 from badger_amcl_tpu.utils.angles import shortest_angular_distance
+from badger_amcl_tpu.utils.profiling import PhaseTimer
 
 log = logging.getLogger("badger_amcl_tpu")
 
@@ -105,6 +106,7 @@ class Node:
         self.tf = tf_buffer if tf_buffer is not None else TransformBuffer()
         self._outputs: Dict[str, List[Callable]] = {}
         self.key = jax.random.PRNGKey(seed)
+        self.timers = PhaseTimer()  # per-phase host timing (SURVEY.md §5)
 
         self.params = PFParams(
             min_samples=config.min_particles,
@@ -376,13 +378,14 @@ class Node:
     def resample_particles(self) -> None:
         """updateResample through the node (resampleParticles,
         node_2d.cpp:562-570)."""
-        pool = self.random_pose_pool()
-        self.state = _resample_jit(
-            self.state,
-            self.params,
-            pool,
-            _RESAMPLE_MODEL_MAP[self.config.resample_model_type],
-        )
+        with self.timers.phase("resample"):
+            pool = self.random_pose_pool()
+            self.state = _resample_jit(
+                self.state,
+                self.params,
+                pool,
+                _RESAMPLE_MODEL_MAP[self.config.resample_model_type],
+            )
         if bool(self.state.converged) and self.global_localization_active:
             log.info("Global localization converged!")
             self.global_localization_active = False
@@ -643,3 +646,28 @@ class Node:
     def shutdown(self, now: float) -> None:
         """main.cpp:51: save the pose once more with on_exit=True."""
         self.attempt_save_pose(now, exiting=True)
+
+    # ------------------------------------------------- full-state checkpoint
+
+    def save_full_state(self, path: str) -> bool:
+        """Snapshot the complete particle set (beyond the reference's
+        pose-only persistence; see node/checkpoint.py)."""
+        if self.state is None:
+            return False
+        from badger_amcl_tpu.node import checkpoint
+
+        checkpoint.save_state(path, self.state)
+        return True
+
+    def restore_full_state(self, path: str) -> bool:
+        """Resume from a full snapshot; requires a map to already be loaded
+        (the sensors need it). Returns False and keeps the current state on
+        any mismatch."""
+        from badger_amcl_tpu.node import checkpoint
+
+        state = checkpoint.load_state(path, self.params)
+        if state is None:
+            return False
+        self.state = state
+        self.odom_init = False
+        return True

