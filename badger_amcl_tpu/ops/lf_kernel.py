@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 WIN_ROWS = 64  # texture rows (j / y) per beam window
 WIN_COLS = 256  # texture cols (i / x) per beam window
-TILE_M = 512  # particles per tile (lane-dim blocks)
+TILE_M = 256  # particles per tile (lane-dim blocks; sweep-tested optimum)
 
 
 def _kernel(

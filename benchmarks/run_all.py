@@ -1,0 +1,208 @@
+"""Full benchmark suite: the five BASELINE.json configurations.
+
+1. 2D likelihood-field AMCL, reference CPU default scale (500 x 180)
+2. 2D beam model with per-beam raycast (5k x 720)
+3. KLD-adaptive global localization, particle sweep 100 -> 50k
+4. 3D point-cloud localization (10k particles x 256 points, voxel EDT)
+5. Fleet batch: 256 robots x 10k particles (vmapped; sharded across the mesh
+   when more than one device is present)
+
+Run on the TPU:  python benchmarks/run_all.py
+Prints one JSON object per config plus a summary line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# runnable from anywhere: the repo root holds the package + __graft_entry__
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _time_chain(step, state, iters=10):
+    import jax
+
+    s = step(state)
+    jax.block_until_ready(s)
+    s = step(s)
+    jax.block_until_ready(s)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        s = step(s)
+    jax.block_until_ready(s)
+    return (time.perf_counter() - t0) / iters, s
+
+
+def bench_2d_lf(backend):
+    from __graft_entry__ import _build_setup
+    from badger_amcl_tpu import mcl
+
+    omap, params, state, scan, sp, pool = _build_setup(
+        500, 180, 1024, pose_cov=(0.02, 0.02, 0.002), min_particles=500
+    )
+    dt, _ = _time_chain(
+        lambda s: mcl.sensor_resample_step_jit(s, omap, sp, scan, pool, params,
+                                               backend=backend),
+        state,
+    )
+    return {"config": "2d_lf_500x180", "step_ms": dt * 1e3,
+            "evals_per_sec": 500 * 180 / dt}
+
+
+def bench_2d_beam(backend):
+    from __graft_entry__ import _build_setup
+    from badger_amcl_tpu import mcl
+
+    omap, params, state, scan, sp, pool = _build_setup(
+        5000, 720, 1024, pose_cov=(0.02, 0.02, 0.002), min_particles=5000
+    )
+    dt, _ = _time_chain(
+        lambda s: mcl.sensor_resample_step_jit(
+            s, omap, sp, scan, pool, params, laser_model="beam", backend="xla"
+        ),
+        state, iters=3,
+    )
+    return {"config": "2d_beam_5000x720", "step_ms": dt * 1e3,
+            "evals_per_sec": 5000 * 720 / dt}
+
+
+def bench_kld_sweep(backend):
+    from __graft_entry__ import _build_setup
+    from badger_amcl_tpu import mcl
+
+    out = []
+    for n in (100, 1000, 10000, 50000):
+        omap, params, state, scan, sp, pool = _build_setup(
+            n, 180, 1024, pose_cov=(4.0, 4.0, 1.5), min_particles=max(50, n // 100)
+        )
+        dt, s_end = _time_chain(
+            lambda s: mcl.sensor_resample_step_jit(s, omap, sp, scan, pool, params,
+                                                   backend=backend),
+            state, iters=5,
+        )
+        import jax
+
+        out.append({"max_particles": n, "step_ms": dt * 1e3,
+                    "n_active_end": int(s_end.n_active)})
+    return {"config": "kld_global_localization_sweep", "sweep": out}
+
+
+def bench_3d(backend):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from badger_amcl_tpu.maps import OctoMap3D
+    from badger_amcl_tpu.pf import PFParams, init_with_gaussian, sensor_update
+    from badger_amcl_tpu.pf import filter as pf_filter
+    from badger_amcl_tpu.sensors.point_cloud import PointCloudParams, point_cloud_likelihood
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 20.0, (20000, 3)) * np.array([1, 1, 0.15])
+    omap = OctoMap3D.from_occupied_points(pts, 0.05, 0.36).with_distance_field()
+    n, b = 10000, 256
+    params = PFParams(min_samples=n, max_samples=n)
+    state = init_with_gaussian(
+        params, jax.random.PRNGKey(0), jnp.array([10.0, 10.0, 0.0]),
+        jnp.diag(jnp.array([0.02, 0.02, 0.002])),
+    )
+    cloud = jnp.asarray(rng.uniform(-3, 3, (b, 3)), jnp.float32)
+    pc_params = PointCloudParams()
+    pool = jnp.zeros((n, 3))
+
+    @jax.jit
+    def step(s):
+        p, mf = point_cloud_likelihood(omap, pc_params, cloud, s.poses,
+                                       "likelihood_field")
+        s = sensor_update(s, p, mf)
+        return pf_filter.resample(s, params, pool)
+
+    dt, _ = _time_chain(step, state)
+    return {"config": "3d_cloud_10000x256", "step_ms": dt * 1e3,
+            "evals_per_sec": n * b / dt}
+
+
+def bench_fleet(backend):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from __graft_entry__ import _build_setup
+    from badger_amcl_tpu.fleet import fleet_init, make_fleet_step, make_sharded_fleet_step
+    from badger_amcl_tpu.pf.types import PFParams
+    from badger_amcl_tpu.sensors.planar import PlanarScan, PlanarScanParams
+
+    r, n, b = 256, 10000, 180
+    omap, _, _, scan, sp, _ = _build_setup(64, b, 1024)
+    params = PFParams(min_samples=n // 100, max_samples=n)
+    key = jax.random.PRNGKey(0)
+    means = 0.1 * jax.random.normal(key, (r, 3))
+    covs = jnp.tile(jnp.diag(jnp.array([0.02, 0.02, 0.002])), (r, 1, 1))
+    states = fleet_init(params, key, means, covs)
+    scans = PlanarScan(
+        ranges=jnp.tile(scan.ranges, (r, 1)),
+        angles=jnp.tile(scan.angles, (r, 1)),
+        range_max=jnp.full((r,), float(scan.range_max)),
+    )
+    pools = jnp.zeros((r, n, 3))
+    odom_poses = jnp.zeros((r, 3))
+    odom_deltas = jnp.tile(jnp.array([0.05, 0.0, 0.01]), (r, 1))
+    alphas = jnp.full((5,), 0.05)
+
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        mesh = Mesh(np.array(jax.devices()), ("fleet",))
+        step_fn = make_sharded_fleet_step(mesh, params, laser_model="likelihood_field")
+        states = jax.device_put(states, NamedSharding(mesh, P("fleet")))
+    else:
+        step_fn = make_fleet_step(params, laser_model="likelihood_field")
+
+    def step(s):
+        return step_fn(s, omap, sp, scans, pools, odom_poses, odom_deltas,
+                       odom_deltas, alphas)
+
+    dt, _ = _time_chain(step, states, iters=3)
+    return {"config": f"fleet_{r}x{n}", "devices": n_dev, "step_ms": dt * 1e3,
+            "robot_steps_per_sec": r / dt,
+            "evals_per_sec": r * n * b / dt}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--only", default=None,
+                    help="comma list: 2d_lf,2d_beam,kld,3d,fleet")
+    args = ap.parse_args()
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from badger_amcl_tpu import mcl
+
+    backend = mcl.default_backend()
+    benches = {
+        "2d_lf": bench_2d_lf,
+        "2d_beam": bench_2d_beam,
+        "kld": bench_kld_sweep,
+        "3d": bench_3d,
+        "fleet": bench_fleet,
+    }
+    wanted = args.only.split(",") if args.only else list(benches)
+    results = []
+    for name in wanted:
+        try:
+            res = benches[name](backend)
+        except Exception as e:  # keep going; report the failure
+            res = {"config": name, "error": f"{type(e).__name__}: {e}"}
+        results.append(res)
+        print(json.dumps(res), flush=True)
+    print(json.dumps({"summary": True, "backend": backend,
+                      "device": str(jax.devices()[0]), "n": len(results)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
