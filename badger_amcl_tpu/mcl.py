@@ -117,7 +117,11 @@ likelihood_only_jit = jax.jit(
 
 
 def default_backend() -> str:
-    """"pallas" on TPU-family backends, "xla" elsewhere."""
+    """"pallas_corr" (stencil-correlation fast mode with automatic exact
+    fallbacks) on TPU-family backends, "xla" elsewhere. Force "pallas"
+    (windowed, exact up to bf16 texture) or "xla" (exact f32) via
+    AMCLConfig.compute_backend when bit-level parity matters more than
+    speed."""
     import jax
 
-    return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    return "pallas_corr" if jax.default_backend() in ("tpu", "axon") else "xla"

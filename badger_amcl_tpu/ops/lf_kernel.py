@@ -189,16 +189,22 @@ def windowed_distance_gather(
     return zt[:, :m]
 
 
-def lf_distances(omap, spose, ranges, angles, interpret: bool = False):
-    """Full LF distance field lookup: windowed kernel when the cloud is
-    concentrated, XLA gather when spread. Returns (z (M, B) f32)."""
+def _xla_distances_t(omap, spose, ranges, angles):
+    """XLA gather fallback, computed directly in (B, M) orientation."""
+    th = spose[None, :, 2] + angles[:, None]
+    hx = spose[None, :, 0] + ranges[:, None] * jnp.cos(th)
+    hy = spose[None, :, 1] + ranges[:, None] * jnp.sin(th)
+    ij = omap.world_to_map(jnp.stack([hx, hy], axis=-1))
+    return omap.distance_at(ij)
+
+
+def lf_distances_t(omap, spose, ranges, angles, interpret: bool = False):
+    """Full LF distance lookup in (B, M) orientation — the kernel's natural
+    output layout, so neither path transposes: windowed kernel when the
+    cloud is concentrated, XLA gather when spread."""
     if omap.size_x < WIN_COLS or omap.size_y < WIN_ROWS:
         # map smaller than the kernel window: the XLA path handles it
-        th = spose[:, 2:3] + angles[None, :]
-        hx = spose[:, 0:1] + ranges[None, :] * jnp.cos(th)
-        hy = spose[:, 1:2] + ranges[None, :] * jnp.sin(th)
-        ij = omap.world_to_map(jnp.stack([hx, hy], axis=-1))
-        return omap.distance_at(ij)
+        return _xla_distances_t(omap, spose, ranges, angles)
     row0, col0, fits = window_origins(omap, spose, ranges, angles)
     geom = (
         float(omap.resolution), omap.size_x // 2, omap.size_y // 2,
@@ -208,16 +214,16 @@ def lf_distances(omap, spose, ranges, angles, interpret: bool = False):
     tex16 = omap.distances.astype(jnp.bfloat16)
 
     def fast(_):
-        zt = windowed_distance_gather(
+        return windowed_distance_gather(
             geom, tex16, spose, ranges, angles, row0, col0, interpret=interpret
-        )
-        return zt.T.astype(jnp.float32)
+        ).astype(jnp.float32)
 
     def slow(_):
-        th = spose[:, 2:3] + angles[None, :]
-        hx = spose[:, 0:1] + ranges[None, :] * jnp.cos(th)
-        hy = spose[:, 1:2] + ranges[None, :] * jnp.sin(th)
-        ij = omap.world_to_map(jnp.stack([hx, hy], axis=-1))
-        return omap.distance_at(ij)
+        return _xla_distances_t(omap, spose, ranges, angles)
 
     return jax.lax.cond(fits, fast, slow, operand=None)
+
+
+def lf_distances(omap, spose, ranges, angles, interpret: bool = False):
+    """(M, B)-oriented convenience wrapper around lf_distances_t."""
+    return lf_distances_t(omap, spose, ranges, angles, interpret).T

@@ -108,41 +108,105 @@ def _beam_endpoints_dist(omap, scan, spose, backend="xla"):
     if backend in ("pallas", "pallas_interpret"):
         from badger_amcl_tpu.ops import lf_kernel
 
-        z = lf_kernel.lf_distances(
+        zt = lf_kernel.lf_distances_t(
             omap, spose, scan.ranges, scan.angles,
             interpret=(backend == "pallas_interpret"),
         )
-        return z, valid
-    ranges = scan.ranges[None, :]
-    angles = scan.angles[None, :]
-    th = spose[:, 2:3] + angles
-    hx = spose[:, 0:1] + ranges * jnp.cos(th)
-    hy = spose[:, 1:2] + ranges * jnp.sin(th)
+        return zt, valid
+    # XLA path computed directly in (B, N) orientation so no backend needs a
+    # transpose downstream
+    ranges = scan.ranges[:, None]
+    angles = scan.angles[:, None]
+    th = spose[None, :, 2] + angles
+    hx = spose[None, :, 0] + ranges * jnp.cos(th)
+    hy = spose[None, :, 1] + ranges * jnp.sin(th)
     ij = omap.world_to_map(jnp.stack([hx, hy], axis=-1))
-    z = omap.distance_at(ij)  # off-map -> max_distance (planar_scanner.cpp:295-300)
-    return z, valid
+    zt = omap.distance_at(ij)  # off-map -> max_distance (planar_scanner.cpp:295-300)
+    return zt, valid
+
+
+def _corr_dispatch(omap, scan, spose, psi_fn, offmap_value, combine_fn,
+                   fallback_fn, interpret):
+    """Shared stencil-correlation dispatch for the LF-family models:
+    psi_fn maps the distance texture to per-cell beam likelihood, combine_fn
+    turns (sum_psi (M,), valid count) into p (M,); falls back to
+    `fallback_fn()` when the cloud/yaw/range exceeds the lattice kernel's
+    envelope (ops/corr_kernel.py)."""
+    import jax
+
+    from badger_amcl_tpu.ops import corr_kernel
+
+    valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
+    if not corr_kernel.map_fits(omap):
+        return fallback_fn()
+    pre = corr_kernel.corr_prepass(omap, spose, scan.ranges, scan.angles, valid)
+
+    def fast(_):
+        tex_psi = psi_fn(omap.distances)
+        offmap = psi_fn(jnp.float32(offmap_value))
+        s = corr_kernel.corr_values(
+            omap, tex_psi, offmap, spose, scan.ranges, scan.angles, valid, pre,
+            interpret=interpret,
+        )
+        return combine_fn(s, jnp.sum(valid))
+
+    def slow(_):
+        return fallback_fn()
+
+    return jax.lax.cond(pre["fits"], fast, slow, operand=None)
 
 
 def _lf_model(omap, params, scan, spose, backend="xla"):
     """calcLikelihoodFieldModel (planar_scanner.cpp:236-323):
     pz = z_hit exp(-z^2/2s^2) + z_rand/range_max; p = 1 + sum pz^3 over
     valid beams (max-range and NaN beams skipped)."""
-    z, valid = _beam_endpoints_dist(omap, scan, spose, backend)
+    denom0 = 2.0 * params.sigma_hit * params.sigma_hit
+    if backend in ("pallas_corr", "pallas_corr_interpret"):
+        def psi(d):
+            pz = params.z_hit * jnp.exp(-(d * d) / denom0) + params.z_rand / scan.range_max
+            return pz * pz * pz
+
+        interp = backend == "pallas_corr_interpret"
+        fb = "pallas_interpret" if interp else "pallas"
+        return _corr_dispatch(
+            omap, scan, spose, psi, omap.max_distance_to_object,
+            lambda s, cnt: 1.0 + s,
+            lambda: _lf_model(omap, params, scan, spose, fb),
+            interpret=interp,
+        )
+    zt, valid = _beam_endpoints_dist(omap, scan, spose, backend)
     denom = 2.0 * params.sigma_hit * params.sigma_hit
-    pz = params.z_hit * jnp.exp(-(z * z) / denom) + params.z_rand / scan.range_max
+    pz = params.z_hit * jnp.exp(-(zt * zt) / denom) + params.z_rand / scan.range_max
     pz3 = pz * pz * pz
-    return 1.0 + jnp.sum(jnp.where(valid[None, :], pz3, 0.0), axis=1)
+    return 1.0 + jnp.sum(jnp.where(valid[:, None], pz3, 0.0), axis=0)
 
 
 def _lf_gompertz_model(omap, params, scan, spose, backend="xla"):
     """calcLikelihoodFieldModelGompertz (planar_scanner.cpp:552-640):
     per-particle *mean* pz (note z_rand added raw, no /range_max) through the
     Gompertz squash; no valid beams -> p = 1."""
-    z, valid = _beam_endpoints_dist(omap, scan, spose, backend)
+    if backend in ("pallas_corr", "pallas_corr_interpret"):
+        denom0 = 2.0 * params.sigma_hit * params.sigma_hit
+
+        def psi(d):
+            return params.z_hit * jnp.exp(-(d * d) / denom0) + params.z_rand
+
+        def combine(s, cnt):
+            p = apply_gompertz(params, s / jnp.maximum(cnt, 1))
+            return jnp.where(cnt > 0, p, 1.0)
+
+        interp = backend == "pallas_corr_interpret"
+        fb = "pallas_interpret" if interp else "pallas"
+        return _corr_dispatch(
+            omap, scan, spose, psi, omap.max_distance_to_object, combine,
+            lambda: _lf_gompertz_model(omap, params, scan, spose, fb),
+            interpret=interp,
+        )
+    zt, valid = _beam_endpoints_dist(omap, scan, spose, backend)
     denom = 2.0 * params.sigma_hit * params.sigma_hit
-    pz = params.z_hit * jnp.exp(-(z * z) / denom) + params.z_rand
+    pz = params.z_hit * jnp.exp(-(zt * zt) / denom) + params.z_rand
     count = jnp.sum(valid)
-    sum_pz = jnp.sum(jnp.where(valid[None, :], pz, 0.0), axis=1)
+    sum_pz = jnp.sum(jnp.where(valid[:, None], pz, 0.0), axis=0)
     p = apply_gompertz(params, sum_pz / jnp.maximum(count, 1))
     return jnp.where(count > 0, p, 1.0)
 
@@ -160,34 +224,52 @@ def _lf_prob_model(omap, params, scan, spose, active, n_active, converged, do_be
     (max-range/NaN) beams carry pz = 0 in the temp matrix exactly like the
     reference's cleared temp buffers, so the error fallback reproduces its
     zero-weight collapse."""
-    z, valid = _beam_endpoints_dist(omap, scan, spose, backend)
+    if backend in ("pallas_corr", "pallas_corr_interpret") and not do_beamskip:
+        denom0 = 2.0 * params.sigma_hit * params.sigma_hit
+
+        def psi(d):
+            pz = params.z_hit * jnp.exp(-(d * d) / denom0) + params.z_rand / scan.range_max
+            return jnp.log(pz)
+
+        interp = backend == "pallas_corr_interpret"
+        fb = "pallas_interpret" if interp else "pallas"
+        return _corr_dispatch(
+            omap, scan, spose, psi, omap.max_distance_to_object,
+            lambda s, cnt: jnp.exp(s),
+            lambda: _lf_prob_model(omap, params, scan, spose, active, n_active,
+                                   converged, do_beamskip, fb),
+            interpret=interp,
+        )
+    if backend in ("pallas_corr", "pallas_corr_interpret"):
+        backend = "pallas" if backend == "pallas_corr" else "pallas_interpret"
+    zt, valid = _beam_endpoints_dist(omap, scan, spose, backend)
     denom = 2.0 * params.sigma_hit * params.sigma_hit
-    pz = params.z_hit * jnp.exp(-(z * z) / denom) + params.z_rand / scan.range_max
+    pz = params.z_hit * jnp.exp(-(zt * zt) / denom) + params.z_rand / scan.range_max
     logpz = jnp.log(pz)
     if not do_beamskip:
-        log_p = jnp.sum(jnp.where(valid[None, :], logpz, 0.0), axis=1)
+        log_p = jnp.sum(jnp.where(valid[:, None], logpz, 0.0), axis=0)
         return jnp.exp(log_p)
 
     b = scan.ranges.shape[0]
     # in-map test for the obs_count increment (:441-453): only beams whose
     # endpoint lands on the map count toward agreement
-    ranges = scan.ranges[None, :]
-    th = spose[:, 2:3] + scan.angles[None, :]
-    hx = spose[:, 0:1] + ranges * jnp.cos(th)
-    hy = spose[:, 1:2] + ranges * jnp.sin(th)
+    ranges = scan.ranges[:, None]
+    th = spose[None, :, 2] + scan.angles[:, None]
+    hx = spose[None, :, 0] + ranges * jnp.cos(th)
+    hy = spose[None, :, 1] + ranges * jnp.sin(th)
     in_map = omap.is_valid(omap.world_to_map(jnp.stack([hx, hy], axis=-1)))
-    agrees = in_map & (z < params.beam_skip_distance) & valid[None, :] & active[:, None]
-    obs_count = jnp.sum(agrees, axis=0).astype(jnp.float32)
+    agrees = in_map & (zt < params.beam_skip_distance) & valid[:, None] & active[None, :]
+    obs_count = jnp.sum(agrees, axis=1).astype(jnp.float32)
     obs_mask = obs_count / jnp.maximum(n_active.astype(jnp.float32), 1.0) > (
         params.beam_skip_threshold
     )
     skipped = jnp.sum(~obs_mask)
     error = skipped >= b * params.beam_skip_error_threshold
     # second pass (:512-529); invalid beams have temp pz == 0 -> log 0 = -inf
-    pz_temp = jnp.where(valid[None, :], pz, 0.0)
-    use_beam = error | obs_mask[None, :]
-    log_p = jnp.sum(jnp.where(use_beam, jnp.log(pz_temp), 0.0), axis=1)
-    log_p_all = jnp.where(converged, log_p, jnp.sum(jnp.where(valid[None, :], logpz, 0.0), axis=1))
+    pz_temp = jnp.where(valid[:, None], pz, 0.0)
+    use_beam = error | obs_mask[:, None]
+    log_p = jnp.sum(jnp.where(use_beam, jnp.log(pz_temp), 0.0), axis=0)
+    log_p_all = jnp.where(converged, log_p, jnp.sum(jnp.where(valid[:, None], logpz, 0.0), axis=0))
     return jnp.exp(log_p_all)
 
 

@@ -100,6 +100,65 @@ def test_full_model_through_backend(big_map):
     np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_x), rtol=0.02)
 
 
+def test_corr_backend_matches_xla(big_map):
+    """Stencil-correlation backend vs exact XLA on every LF-family model.
+
+    Lattice rounding perturbs individual particle likelihoods (up to ~25%
+    for particles whose beams straddle obstacle-cell boundaries, amplified
+    by pz^3); what MCL consumes is the *normalized weight distribution*, so
+    the contract tested is estimator-level agreement plus a bounded
+    per-particle deviation."""
+    poses = _tight_poses(400, seed=7)
+    scan = _scan()
+    n = poses.shape[0]
+    params = PlanarScanParams()
+    for model in ("likelihood_field", "likelihood_field_gompertz",
+                  "likelihood_field_prob"):
+        p_x, _ = planar_likelihood(
+            big_map, params, scan, poses, jnp.ones((n,), bool), jnp.int32(n), model,
+        )
+        p_c, _ = planar_likelihood(
+            big_map, params, scan, poses, jnp.ones((n,), bool), jnp.int32(n), model,
+            backend="pallas_corr_interpret",
+        )
+        px, pc = np.asarray(p_x, np.float64), np.asarray(p_c, np.float64)
+        rel = np.abs(pc - px) / np.maximum(np.abs(px), 1e-12)
+        assert rel.max() < 0.3, (model, rel.max())
+        assert rel.mean() < 0.08, (model, rel.mean())
+        # estimator agreement: weighted mean pose from either weighting
+        wx, wc = px / px.sum(), pc / pc.sum()
+        mean_x = (wx[:, None] * np.asarray(poses)).sum(0)
+        mean_c = (wc[:, None] * np.asarray(poses)).sum(0)
+        np.testing.assert_allclose(mean_c, mean_x, atol=5e-3)
+
+
+def test_corr_wide_yaw_falls_back(big_map):
+    """Yaw spread beyond T_MAX bins must route to the exact fallback."""
+    from badger_amcl_tpu.ops import corr_kernel
+
+    key = jax.random.PRNGKey(9)
+    poses = jnp.concatenate(
+        [0.1 * jax.random.normal(key, (200, 2)),
+         jax.random.uniform(key, (200, 1), minval=-3.0, maxval=3.0)],
+        axis=1,
+    ).astype(jnp.float32)
+    scan = _scan()
+    valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
+    pre = corr_kernel.corr_prepass(big_map, poses, scan.ranges, scan.angles, valid)
+    assert not bool(pre["fits"])
+    n = poses.shape[0]
+    p_c, _ = planar_likelihood(
+        big_map, PlanarScanParams(), scan, poses, jnp.ones((n,), bool),
+        jnp.int32(n), "likelihood_field", backend="pallas_corr_interpret",
+    )
+    p_x, _ = planar_likelihood(
+        big_map, PlanarScanParams(), scan, poses, jnp.ones((n,), bool),
+        jnp.int32(n), "likelihood_field",
+    )
+    # fallback path is the windowed kernel / XLA: bf16-quantized at worst
+    np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_x), rtol=0.01)
+
+
 def test_small_map_uses_xla(box_map):
     """Maps smaller than the kernel window skip the kernel entirely."""
     poses = _tight_poses(50, seed=6)
