@@ -34,15 +34,16 @@ log = logging.getLogger("badger_amcl_tpu")
 SCAN_WATCHDOG_INTERVAL = 15.0  # node_3d.cpp:102-105
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
-def _sensor_update_jit(state, omap, params, points_base, model):
-    p, mf = point_cloud_likelihood(omap, params, points_base, state.poses, model)
+@functools.partial(jax.jit, static_argnames=("model", "backend"))
+def _sensor_update_jit(state, omap, params, points_base, model, backend):
+    p, mf = point_cloud_likelihood(omap, params, points_base, state.poses, model,
+                                   backend)
     return pf_filter.sensor_update(state, p, mf)
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
-def _score_poses_jit(omap, params, points_base, poses, model):
-    p, mf = point_cloud_likelihood(omap, params, points_base, poses, model)
+@functools.partial(jax.jit, static_argnames=("model", "backend"))
+def _score_poses_jit(omap, params, points_base, poses, model, backend):
+    p, mf = point_cloud_likelihood(omap, params, points_base, poses, model, backend)
     return p * mf
 
 
@@ -61,6 +62,12 @@ class Node3D(Node):
         self.scanner_tfs: List[Transform] = []
         self.scanners_update: List[bool] = []
         self.pc_params = self._make_params()
+        if config.compute_backend == "auto":
+            from badger_amcl_tpu.mcl import default_backend
+
+            self.backend = default_backend()
+        else:
+            self.backend = config.compute_backend
 
     # --------------------------------------------------------------- params
 
@@ -214,10 +221,11 @@ class Node3D(Node):
         pts = scan_prep.decimate_cloud(cloud.points, cfg.resolved_cloud_max_beams)
         pts_base = self.scanner_tfs[scanner_index].apply(pts)
         self.latest_points_base = jnp.asarray(pts_base, jnp.float32)
-        self.state = _sensor_update_jit(
-            self.state, self.map, self.pc_params, self.latest_points_base,
-            cfg.point_cloud_model_type.value,
-        )
+        with self.timers.phase("sensor_update"):
+            self.state = _sensor_update_jit(
+                self.state, self.map, self.pc_params, self.latest_points_base,
+                cfg.point_cloud_model_type.value, self.backend,
+            )
         self.scanners_update[scanner_index] = False
         self.resample_count += 1
         resampled = False
@@ -236,7 +244,7 @@ class Node3D(Node):
             return jnp.ones((poses.shape[0],), jnp.float32)
         return _score_poses_jit(
             self.map, self.pc_params, self.latest_points_base, poses,
-            self.config.point_cloud_model_type.value,
+            self.config.point_cloud_model_type.value, self.backend,
         )
 
     # ------------------------------------------------------------- watchdog

@@ -65,10 +65,21 @@ def apply_gompertz(params: PointCloudParams, p):
     return p + params.output_shift
 
 
-def _point_distances(omap: OctoMap3D, points_base, poses):
+def _point_distances_t(omap: OctoMap3D, points_base, poses, backend="xla"):
+    """(B, N) distances at every transformed cloud point. backend "pallas"
+    routes through the windowed voxel kernel (ops/pc_kernel.py) with
+    automatic XLA fallback."""
+    if backend in ("pallas", "pallas_interpret", "pallas_corr",
+                   "pallas_corr_interpret"):
+        from badger_amcl_tpu.ops import pc_kernel
+
+        return pc_kernel.pc_distances_t(
+            omap, points_base, poses,
+            interpret=backend.endswith("interpret"),
+        )
     map_cloud = transform_cloud_to_map(points_base, poses)  # (N, B, 3)
     cells = omap.world_to_map(map_cloud)
-    return omap.distance_at(cells)  # (N, B)
+    return omap.distance_at(cells).T  # (B, N)
 
 
 def point_cloud_likelihood(
@@ -77,6 +88,7 @@ def point_cloud_likelihood(
     points_base: jnp.ndarray,
     poses: jnp.ndarray,
     model: str = "likelihood_field",
+    backend: str = "xla",
 ):
     """applyModelToSampleSet (point_cloud_scanner.cpp:106-129): returns
     (p_model (N,), map_factor (N,)).
@@ -86,15 +98,15 @@ def point_cloud_likelihood(
         there is no max-range skip for clouds).
     model == "likelihood_field_gompertz": mean pz (z_rand added raw) through
         the Gompertz squash (:169-203)."""
-    z = _point_distances(omap, points_base, poses)
+    zt = _point_distances_t(omap, points_base, poses, backend)
     denom = 2.0 * params.sigma_hit * params.sigma_hit
-    gauss = params.z_hit * jnp.exp(-(z * z) / denom)
+    gauss = params.z_hit * jnp.exp(-(zt * zt) / denom)
     if model == "likelihood_field":
         pz = gauss + params.z_rand / omap.max_distance_to_object
-        p = 1.0 + jnp.sum(pz * pz * pz, axis=1)
+        p = 1.0 + jnp.sum(pz * pz * pz, axis=0)
     elif model == "likelihood_field_gompertz":
         pz = gauss + params.z_rand
-        p = apply_gompertz(params, jnp.mean(pz, axis=1))
+        p = apply_gompertz(params, jnp.mean(pz, axis=0))
     else:  # pragma: no cover
         raise ValueError(f"unknown point cloud model {model!r}")
     return p, map_factors(omap, params, poses)

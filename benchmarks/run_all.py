@@ -100,22 +100,28 @@ def bench_3d(backend):
     from badger_amcl_tpu.sensors.point_cloud import PointCloudParams, point_cloud_likelihood
 
     rng = np.random.default_rng(0)
-    pts = rng.uniform(0, 20.0, (20000, 3)) * np.array([1, 1, 0.15])
-    omap = OctoMap3D.from_occupied_points(pts, 0.05, 0.36).with_distance_field()
+    pts = rng.uniform(0, 20.0, (20000, 3)) * np.array([1, 1, 0.05])
+    omap = OctoMap3D.from_occupied_points(
+        pts, 0.05, 0.36, metric_min=(0, 0, 0), metric_max=(20, 20, 1.0)
+    ).with_distance_field()
     n, b = 10000, 256
     params = PFParams(min_samples=n, max_samples=n)
     state = init_with_gaussian(
         params, jax.random.PRNGKey(0), jnp.array([10.0, 10.0, 0.0]),
         jnp.diag(jnp.array([0.02, 0.02, 0.002])),
     )
-    cloud = jnp.asarray(rng.uniform(-3, 3, (b, 3)), jnp.float32)
+    ang = rng.uniform(-np.pi, np.pi, b)
+    r = rng.uniform(0.5, 4.0, b)
+    zs = rng.uniform(0.1, 0.9, b)
+    cloud = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang), zs], axis=1),
+                        jnp.float32)
     pc_params = PointCloudParams()
     pool = jnp.zeros((n, 3))
 
     @jax.jit
     def step(s):
         p, mf = point_cloud_likelihood(omap, pc_params, cloud, s.poses,
-                                       "likelihood_field")
+                                       "likelihood_field", backend)
         s = sensor_update(s, p, mf)
         return pf_filter.resample(s, params, pool)
 
