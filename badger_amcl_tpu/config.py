@@ -148,6 +148,10 @@ class AMCLConfig:
     # "auto" -> Pallas TPU kernels on TPU backends, plain XLA elsewhere;
     # "xla" forces the exact float32 reference path everywhere.
     compute_backend: str = "auto"
+    # angle bins for the fast beam-model range image (built only when the
+    # beam model is configured and a pallas_corr backend is active; 0
+    # disables the bake and keeps the exact Bresenham path)
+    beam_range_image_bins: int = 256
 
     # --- map handling (node_2d.cpp:49,93-98; node_3d.cpp:58-59,94) ---
     first_map_only: bool = False

@@ -69,6 +69,9 @@ class OccupancyMap2D:
     cells: jnp.ndarray
     distances: Optional[jnp.ndarray] = None
     max_distance_to_object: float = 0.0
+    # optional per-angle range image for the fast beam model
+    # (uint16 (K, H, W) cells; see maps/range_image.py)
+    range_image: Optional[jnp.ndarray] = None
 
     # --- construction -----------------------------------------------------
 
@@ -136,6 +139,14 @@ class OccupancyMap2D:
             distances=jnp.asarray(lut),
             max_distance_to_object=float(max_distance_to_object),
         )
+
+    def with_range_image(self, n_angles: int = 256) -> "OccupancyMap2D":
+        """Bake the per-angle range image enabling the fast beam-model path
+        (maps/range_image.py). One-shot host work, device-resident result."""
+        from badger_amcl_tpu.maps.range_image import build_range_image
+
+        ri = build_range_image(np.asarray(self.cells), self.resolution, n_angles)
+        return dataclasses.replace(self, range_image=jnp.asarray(ri))
 
     @property
     def distances_lut_created(self) -> bool:
@@ -211,19 +222,20 @@ class OccupancyMap2D:
 # as leaves, geometry as hashable aux data) instead of baking the textures
 # into the compiled HLO as constants.
 def _occ_flatten(m: OccupancyMap2D):
-    leaves = (m.cells, m.distances)
+    leaves = (m.cells, m.distances, m.range_image)
     aux = (m.resolution, m.size_x, m.size_y, m.origin_x, m.origin_y,
-           m.max_distance_to_object, m.distances is None)
+           m.max_distance_to_object, m.distances is None, m.range_image is None)
     return leaves, aux
 
 
 def _occ_unflatten(aux, leaves):
-    res, sx, sy, ox, oy, maxd, no_dist = aux
-    cells, distances = leaves
+    res, sx, sy, ox, oy, maxd, no_dist, no_ri = aux
+    cells, distances, range_image = leaves
     return OccupancyMap2D(
         resolution=res, size_x=sx, size_y=sy, origin_x=ox, origin_y=oy,
         cells=cells, distances=None if no_dist else distances,
         max_distance_to_object=maxd,
+        range_image=None if no_ri else range_image,
     )
 
 

@@ -160,6 +160,14 @@ class Node2D(Node):
         # build it always (the reference's beam config also ends up building
         # it through the default LF else-branch at node_2d.cpp:250-255).
         omap = omap.with_distance_field(self.config.laser_likelihood_max_dist)
+        if (
+            self.config.laser_model_type == PlanarModelType.BEAM
+            and self.backend.startswith("pallas_corr")
+            and self.config.beam_range_image_bins > 0
+        ):
+            log.info("Baking beam-model range image (%d angle bins)...",
+                     self.config.beam_range_image_bins)
+            omap = omap.with_range_image(self.config.beam_range_image_bins)
         # scanners hold map-dependent state: clear the registry (node_2d.cpp:213-217)
         self.frame_to_scanner.clear()
         self.scanner_params = []

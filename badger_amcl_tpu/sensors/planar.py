@@ -273,10 +273,36 @@ def _lf_prob_model(omap, params, scan, spose, active, n_active, converged, do_be
     return jnp.exp(log_p_all)
 
 
-def _beam_model(omap, params, scan, spose):
+def _beam_model(omap, params, scan, spose, backend="xla"):
     """calcBeamModel (planar_scanner.cpp:168-234): per-beam map raycast plus
     the 4-part hit/short/max/rand mixture; p = 1 + sum pz^3 over *all* beams
-    (the beam model has no NaN/max-range skip)."""
+    (the beam model has no NaN/max-range skip).
+
+    backend "pallas_corr" + a baked range image (OccupancyMap2D.
+    with_range_image) routes through the lattice beam kernel
+    (ops/beam_kernel.py) — an approximate fast mode; the exact Bresenham
+    bundle is the default and the fallback."""
+    if (
+        backend in ("pallas_corr", "pallas_corr_interpret")
+        and omap.range_image is not None
+    ):
+        import jax
+
+        from badger_amcl_tpu.ops import beam_kernel
+
+        if beam_kernel.ri_fits(omap):
+            pre = beam_kernel.beam_prepass(omap, spose)
+            interp = backend == "pallas_corr_interpret"
+
+            def fast(_):
+                return beam_kernel.beam_corr_values(
+                    omap, params, scan, spose, pre, interpret=interp
+                )
+
+            def slow(_):
+                return _beam_model(omap, params, scan, spose, "xla")
+
+            return jax.lax.cond(pre["fits"], fast, slow, operand=None)
     map_range = raycast.calc_range(
         omap,
         spose[:, 0:1],
@@ -334,7 +360,7 @@ def planar_likelihood(
     static."""
     spose = coord_add(params.scanner_pose, poses)
     if model == "beam":
-        p = _beam_model(omap, params, scan, spose)
+        p = _beam_model(omap, params, scan, spose, backend)
     elif model == "likelihood_field":
         p = _lf_model(omap, params, scan, spose, backend)
     elif model == "likelihood_field_prob":

@@ -48,6 +48,13 @@ def _load():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.amcl_range_image.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint16),
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -84,4 +91,21 @@ def edt_cells(occupied: np.ndarray) -> Optional[np.ndarray]:
         )
     else:
         return None
+    return out
+
+
+def range_image(blocked: np.ndarray, n_angles: int) -> Optional[np.ndarray]:
+    """Per-angle range image via the native library; None if unavailable.
+    blocked: bool (H, W). Returns uint16 (n_angles, H, W) in cells."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "amcl_range_image"):
+        return None
+    blk = np.ascontiguousarray(blocked.astype(np.uint8))
+    h, w = blk.shape
+    out = np.empty((n_angles, h, w), dtype=np.uint16)
+    lib.amcl_range_image(
+        blk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, n_angles,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
     return out

@@ -1,0 +1,115 @@
+"""Range image + lattice beam kernel vs the exact Bresenham beam model."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from badger_amcl_tpu.maps import CellState, OccupancyMap2D
+from badger_amcl_tpu.maps.range_image import build_range_image
+from badger_amcl_tpu.ops import beam_kernel
+from badger_amcl_tpu.sensors.planar import PlanarScan, PlanarScanParams, planar_likelihood
+from badger_amcl_tpu.sensors.raycast import calc_range
+
+
+@pytest.fixture(scope="module")
+def beam_map():
+    rng = np.random.default_rng(6)
+    n = 320
+    cells = np.full((n, n), int(CellState.FREE), np.int8)
+    cells[0:2, :] = cells[-2:, :] = int(CellState.OCCUPIED)
+    cells[:, 0:2] = cells[:, -2:] = int(CellState.OCCUPIED)
+    for _ in range(12):
+        cx, cy = rng.integers(20, n - 28, 2)
+        cells[cy : cy + 6, cx : cx + 6] = int(CellState.OCCUPIED)
+    m = OccupancyMap2D.from_cells(cells, 0.05).with_distance_field(2.0)
+    return m.with_range_image(n_angles=256)
+
+
+def test_range_image_matches_raycast(beam_map):
+    """Range image values vs exact calcRange over random poses/angles:
+    agreement within the angle-bin + resampling tolerance."""
+    k_angles = beam_map.range_image.shape[0]
+    rng = np.random.default_rng(1)
+    n = 300
+    # sample FREE cells away from walls
+    ii = rng.integers(30, 290, n)
+    jj = rng.integers(30, 290, n)
+    ks = rng.integers(0, k_angles, n)
+    thetas = 2 * np.pi * ks / k_angles
+    world = np.asarray(beam_map.map_to_world(jnp.stack([jnp.asarray(ii), jnp.asarray(jj)], axis=1)))
+    exact = np.asarray(calc_range(
+        beam_map, jnp.asarray(world[:, 0]), jnp.asarray(world[:, 1]),
+        jnp.asarray(thetas, jnp.float32), 16.0,
+    ))
+    ri = np.asarray(beam_map.range_image)
+    got = ri[ks, jj, ii] * beam_map.resolution
+    free_mask = np.asarray(beam_map.cells)[jj, ii] == int(CellState.FREE)
+    err = np.abs(np.minimum(got, 16.0) - exact)[free_mask]
+    # discontinuities (grazing corners) produce outliers; the bulk must agree
+    assert np.median(err) <= 0.1, np.median(err)
+    assert (err < 0.3).mean() > 0.85, (err < 0.3).mean()
+
+
+def test_beam_kernel_estimator_agreement(beam_map):
+    """Lattice beam kernel vs exact beam model: per-particle deviations are
+    bounded-ish; the weighted-mean estimator must agree."""
+    key = jax.random.PRNGKey(0)
+    n = 400
+    poses = jnp.concatenate(
+        [0.12 * jax.random.normal(key, (n, 2)), 0.04 * jax.random.normal(key, (n, 1))],
+        axis=1,
+    ).astype(jnp.float32)
+    b = 48
+    angles = jnp.linspace(-2.0, 2.0, b).astype(jnp.float32)
+    # realistic observations: raycast from the cloud center
+    obs = calc_range(beam_map, jnp.zeros(b), jnp.zeros(b), angles, 8.0)
+    scan = PlanarScan(ranges=jnp.asarray(obs), angles=angles, range_max=jnp.float32(8.0))
+    params = PlanarScanParams()
+    act = jnp.ones((n,), bool)
+    p_x, _ = planar_likelihood(beam_map, params, scan, poses, act, jnp.int32(n), "beam")
+    p_k, _ = planar_likelihood(beam_map, params, scan, poses, act, jnp.int32(n), "beam",
+                               backend="pallas_corr_interpret")
+    px, pk = np.asarray(p_x, np.float64), np.asarray(p_k, np.float64)
+    assert not np.allclose(px, pk)  # the fast path actually ran
+    wx, wk = px / px.sum(), pk / pk.sum()
+    mean_x = (wx[:, None] * np.asarray(poses)).sum(0)
+    mean_k = (wk[:, None] * np.asarray(poses)).sum(0)
+    np.testing.assert_allclose(mean_k[:2], mean_x[:2], atol=0.02)
+
+
+def test_beam_kernel_spread_falls_back(beam_map):
+    key = jax.random.PRNGKey(2)
+    poses = jnp.concatenate(
+        [jax.random.uniform(key, (100, 2), minval=-7, maxval=7),
+         jax.random.uniform(key, (100, 1), minval=-3, maxval=3)],
+        axis=1,
+    ).astype(jnp.float32)
+    pre = beam_kernel.beam_prepass(beam_map, poses)
+    assert not bool(pre["fits"])
+    b = 32
+    angles = jnp.linspace(-1.5, 1.5, b).astype(jnp.float32)
+    scan = PlanarScan(ranges=jnp.full((b,), 2.0), angles=angles,
+                      range_max=jnp.float32(8.0))
+    act = jnp.ones((100,), bool)
+    p_k, _ = planar_likelihood(beam_map, PlanarScanParams(), scan, poses, act,
+                               jnp.int32(100), "beam", backend="pallas_corr_interpret")
+    p_x, _ = planar_likelihood(beam_map, PlanarScanParams(), scan, poses, act,
+                               jnp.int32(100), "beam")
+    np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_x), rtol=1e-5)
+
+
+def test_no_range_image_uses_exact_path(box_map):
+    """Without a baked range image the corr backend must silently use the
+    exact Bresenham path."""
+    poses = jnp.zeros((10, 3), jnp.float32)
+    b = 16
+    angles = jnp.linspace(-1.0, 1.0, b).astype(jnp.float32)
+    scan = PlanarScan(ranges=jnp.full((b,), 1.0), angles=angles,
+                      range_max=jnp.float32(5.0))
+    act = jnp.ones((10,), bool)
+    p_k, _ = planar_likelihood(box_map, PlanarScanParams(), scan, poses, act,
+                               jnp.int32(10), "beam", backend="pallas_corr_interpret")
+    p_x, _ = planar_likelihood(box_map, PlanarScanParams(), scan, poses, act,
+                               jnp.int32(10), "beam")
+    np.testing.assert_array_equal(np.asarray(p_k), np.asarray(p_x))
