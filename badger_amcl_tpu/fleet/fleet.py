@@ -55,31 +55,64 @@ def fleet_step(
     odom_model: odom_models.OdomModel = odom_models.OdomModel.DIFF,
     laser_model: str = "likelihood_field",
     resample_model: ResampleModel = ResampleModel.MULTINOMIAL,
+    backend: str = "xla",
 ):
     """One full MCL step for every robot. Leading axis R on states, scans,
-    pools, odometry; map and model parameters broadcast."""
-    step = functools.partial(
-        mcl.mcl_step_2d,
-        params=params,
-        odom_model=odom_model,
-        laser_model=laser_model,
-        resample_model=resample_model,
-        do_resample=True,
-    )
+    pools, odometry; map and model parameters broadcast.
+
+    backend "xla": everything vmapped. Pallas backends: motion/resample stay
+    vmapped; the measurement stage runs as `lax.map` over robots so each
+    robot's likelihood goes through the TPU kernels (Pallas calls don't
+    batch under vmap; a compiled sequential loop over robots beats the XLA
+    scalar-gather path by a wide margin)."""
+    if backend == "xla":
+        step = functools.partial(
+            mcl.mcl_step_2d,
+            params=params,
+            odom_model=odom_model,
+            laser_model=laser_model,
+            resample_model=resample_model,
+            do_resample=True,
+        )
+        return jax.vmap(
+            step, in_axes=(0, None, None, 0, 0, 0, 0, 0, None)
+        )(states, omap, scan_params, scans, pools, odom_poses, odom_deltas,
+          absolute_motions, alphas)
+
+    from badger_amcl_tpu.pf import filter as pf_filter
+    from badger_amcl_tpu.sensors.planar import planar_likelihood
+
+    states = jax.vmap(
+        lambda st, op, od, am: odom_models.motion_update(
+            st, odom_model, alphas, op, od, am
+        ),
+        in_axes=(0, 0, 0, 0),
+    )(states, odom_poses, odom_deltas, absolute_motions)
+
+    def one_robot(args):
+        st, scan = args
+        return planar_likelihood(
+            omap, scan_params, scan, st.poses, st.active_mask, st.n_active,
+            laser_model, converged=st.converged, backend=backend,
+        )
+
+    p, mf = jax.lax.map(one_robot, (states, scans))
+    states = jax.vmap(pf_filter.sensor_update)(states, p, mf)
     return jax.vmap(
-        step, in_axes=(0, None, None, 0, 0, 0, 0, 0, None)
-    )(states, omap, scan_params, scans, pools, odom_poses, odom_deltas,
-      absolute_motions, alphas)
+        lambda st, pool: pf_filter.resample(st, params, pool, resample_model)
+    )(states, pools)
 
 
 def make_fleet_step(params: PFParams, odom_model=odom_models.OdomModel.DIFF,
                     laser_model="likelihood_field",
-                    resample_model=ResampleModel.MULTINOMIAL):
+                    resample_model=ResampleModel.MULTINOMIAL,
+                    backend: str = "xla"):
     """Jitted single-host fleet step."""
     return jax.jit(
         functools.partial(
             fleet_step, params=params, odom_model=odom_model,
             laser_model=laser_model, resample_model=resample_model,
+            backend=backend,
         )
     )
 
@@ -91,6 +124,7 @@ def make_sharded_fleet_step(
     odom_model=odom_models.OdomModel.DIFF,
     laser_model="likelihood_field",
     resample_model=ResampleModel.MULTINOMIAL,
+    backend: str = "xla",
 ):
     """The multi-chip fleet step: robots sharded along `axis`, map replicated.
 
@@ -101,6 +135,7 @@ def make_sharded_fleet_step(
     local = functools.partial(
         fleet_step, params=params, odom_model=odom_model,
         laser_model=laser_model, resample_model=resample_model,
+        backend=backend,
     )
     sharded = P(axis)
     replicated = P()

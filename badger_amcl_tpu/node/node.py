@@ -160,8 +160,15 @@ class Node:
     def subscribe_output(self, topic: str, callback: Callable) -> None:
         """Register a consumer for an output topic: amcl_pose, particlecloud,
         tf, amcl_map_odom_transform, amcl_absolute_motion (+ alt-frame
-        variants when global_alt_frame_id is set)."""
+        variants when global_alt_frame_id is set).
+
+        amcl_pose is latched: a new subscriber immediately receives the
+        latest localized pose if one exists (newInitialPoseSubscriber,
+        node.cpp:1004-1017)."""
         self._outputs.setdefault(topic, []).append(callback)
+        if topic == "amcl_pose" and self.latest_pose is not None:
+            if self.latest_pose.frame_id == "map":
+                callback(self.latest_pose)
 
     def _publish(self, topic: str, msg) -> None:
         for cb in self._outputs.get(topic, []):

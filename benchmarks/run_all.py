@@ -145,7 +145,10 @@ def bench_fleet(backend):
 
     r, n, b = 256, 10000, 180
     omap, _, _, scan, sp, _ = _build_setup(64, b, 1024)
-    params = PFParams(min_samples=n // 100, max_samples=n)
+    # smaller per-robot KLD grid: tracking robots spread far less than the
+    # single-robot default allows, and the grid is the fleet's memory-
+    # bandwidth bottleneck under vmap
+    params = PFParams(min_samples=n // 100, max_samples=n, hist_x=32, hist_y=32)
     key = jax.random.PRNGKey(0)
     means = 0.1 * jax.random.normal(key, (r, 3))
     covs = jnp.tile(jnp.diag(jnp.array([0.02, 0.02, 0.002])), (r, 1, 1))
@@ -163,10 +166,12 @@ def bench_fleet(backend):
     n_dev = len(jax.devices())
     if n_dev > 1:
         mesh = Mesh(np.array(jax.devices()), ("fleet",))
-        step_fn = make_sharded_fleet_step(mesh, params, laser_model="likelihood_field")
+        step_fn = make_sharded_fleet_step(mesh, params, laser_model="likelihood_field",
+                                          backend=backend)
         states = jax.device_put(states, NamedSharding(mesh, P("fleet")))
     else:
-        step_fn = make_fleet_step(params, laser_model="likelihood_field")
+        step_fn = make_fleet_step(params, laser_model="likelihood_field",
+                                  backend=backend)
 
     def step(s):
         return step_fn(s, omap, sp, scans, pools, odom_poses, odom_deltas,
