@@ -56,8 +56,9 @@ MAX_PADDED_CELLS = 3 * 1024 * 1024
 
 def _kernel(
     # scalar prefetch (SMEM)
-    meta_ref,  # (3,) int32 — (t_count, window row0, window col0)
+    meta_ref,  # (4,) int32 — (t_count, window row0, window col0, t_min)
     valid_ref,  # (B,) int32 — beam validity
+    tocc_ref,  # (T_MAX,) int32 — 1 where the yaw bin holds any particle
     ranges_ref,  # (B,) f32
     angles_ref,  # (B,) f32
     # VMEM
@@ -75,7 +76,7 @@ def _kernel(
         t = k // n_beams
         b = k % n_beams
 
-        @pl.when(valid_ref[b] != 0)
+        @pl.when((valid_ref[b] != 0) & (tocc_ref[t] != 0))
         def _():
             r = ranges_ref[b]
             # theta_t = (t_min + t) * delta; t_min rides in meta (dynamic)
@@ -105,11 +106,11 @@ def _kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("n_beams", "inv_res", "interpret"))
-def _corr_call(tex_pad, meta, valid, ranges, angles, n_beams, inv_res,
+def _corr_call(tex_pad, meta, valid, tocc, ranges, angles, n_beams, inv_res,
                interpret=False):
     kern = functools.partial(_kernel, n_beams=n_beams, inv_res=inv_res)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -119,7 +120,7 @@ def _corr_call(tex_pad, meta, valid, ranges, angles, n_beams, inv_res,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T_MAX, PWIN_R, PWIN_C), jnp.float32),
         interpret=interpret,
-    )(meta, valid, ranges, angles, tex_pad)
+    )(meta, valid, tocc, ranges, angles, tex_pad)
 
 
 def map_fits(omap) -> bool:
@@ -155,9 +156,12 @@ def corr_prepass(omap, spose, ranges, angles, valid):
     max_cells = jnp.max(jnp.where(valid, ranges, 0.0)) / res
     range_ok = (max_cells < (PAD_C - 129)) & (max_cells < (PAD_R - 9))
 
+    # yaw-bin occupancy: empty bins (Gaussian tails) are skipped in-kernel
+    t_rel = jnp.clip(t_m - t_min, 0, T_MAX - 1)
+    t_occ = jnp.zeros((T_MAX,), jnp.int32).at[t_rel].set(1, mode="drop")
     return {
         "ci": ci, "cj": cj, "i0": i0, "j0": j0,
-        "t_m": t_m, "t_min": t_min, "t_count": t_count,
+        "t_m": t_m, "t_min": t_min, "t_count": t_count, "t_occ": t_occ,
         "fits": span_ok & yaw_ok & range_ok,
     }
 
@@ -185,6 +189,7 @@ def corr_values(omap, tex_psi, offmap_psi, spose, ranges, angles, valid, pre,
         tex_pad,
         meta,
         valid.astype(jnp.int32),
+        pre["t_occ"],
         ranges.astype(jnp.float32),
         angles.astype(jnp.float32),
         n_beams=int(ranges.shape[0]),
