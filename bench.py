@@ -6,13 +6,14 @@ Measures the BASELINE.md headline metrics on the flagship config
 - particle x beam likelihood evals/sec/chip (target >= 100M)
 - full sensor-update + KLD-resample step latency (target < 1 ms/chip)
 
-Two regimes are measured: the steady-state *tracking* regime (converged
-cloud; the Pallas windowed-gather kernel runs) and the *spread* regime
-(global-localization-scale cloud; the XLA gather fallback runs). The
-primary metric is the tracking regime, which is where a production
-localizer spends its life. The population is pinned at 50k
-(min == max) so every iteration does full-size work regardless of the KLD
-bound. Prints ONE JSON line.
+Three regimes are measured: *steady* (fully converged cloud — the state the
+E2E demos reach and where a production localizer spends its life),
+*tracking* (mid-convergence, wider yaw spread), and *spread*
+(global-localization-scale cloud; the exact XLA gather fallback runs).
+The primary metric is the tracking regime (the conservative of the two
+kernel regimes). The population is pinned at 50k (min == max) so every
+iteration does full-size work regardless of the KLD bound. Prints ONE JSON
+line.
 """
 
 import argparse
@@ -54,7 +55,11 @@ def main():
         return (time.perf_counter() - t0) / iters, s
 
     results = {}
-    for regime, cov in (("tracking", (0.02, 0.02, 0.002)), ("spread", (2.0, 2.0, 1.0))):
+    for regime, cov in (
+        ("steady", (0.004, 0.004, 0.0004)),
+        ("tracking", (0.02, 0.02, 0.002)),
+        ("spread", (2.0, 2.0, 1.0)),
+    ):
         omap, params, state, scan, scan_params, pool = _build_setup(
             args.particles, args.beams, args.map_cells,
             pose_cov=cov, min_particles=args.particles,
@@ -93,6 +98,7 @@ def main():
             "particles": args.particles,
             "beams": args.beams,
             "map_cells": args.map_cells,
+            "steady": results["steady"],
             "tracking": results["tracking"],
             "spread": results["spread"],
             "step_target_ms": 1.0,
