@@ -8,9 +8,6 @@ and the fleet layer vmaps/shards.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -8,7 +8,7 @@ the sim/replay harness produces them directly.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

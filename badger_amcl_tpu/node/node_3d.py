@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from badger_amcl_tpu.config import AMCLConfig, PointCloudModelType
+from badger_amcl_tpu.config import AMCLConfig
 from badger_amcl_tpu.maps.octomap_3d import OctoMap3D
 from badger_amcl_tpu.maps.octree_io import read_bt
 from badger_amcl_tpu.node import scan_prep

@@ -9,8 +9,6 @@ masked out by zero weights). Double buffering is free in a functional style.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from badger_amcl_tpu.maps.occupancy_2d import CellState, OccupancyMap2D
+from badger_amcl_tpu.maps.occupancy_2d import OccupancyMap2D
 from badger_amcl_tpu.node.messages import LaserScan, OccupancyGrid, Odometry, PointCloud2
 from badger_amcl_tpu.node.transforms import Transform, TransformBuffer
 from badger_amcl_tpu.sensors.raycast import calc_range

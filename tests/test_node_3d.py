@@ -125,3 +125,26 @@ def test_scanner_mount_extrinsic(setup_3d):
     _, est = node.get_max_weight_pose()
     exy = math.hypot(est[0] - sim.true_pose[0], est[1] - sim.true_pose[1])
     assert exy < 0.3, exy
+
+
+def test_octomap_binary_bt_through_node(setup_3d, tmp_path):
+    """The binary .bt octree payload path (octoMapMsgReceived binary branch,
+    node_3d.cpp:262-284)."""
+    import os
+
+    from badger_amcl_tpu.maps.octree_io import write_bt
+
+    sim, cfg, pts, res = setup_3d
+    path = str(tmp_path / "world.bt")
+    thin = pts[:: max(1, len(pts) // 1500)]
+    write_bt(path, res, thin)
+    with open(path, "rb") as f:
+        payload = f.read()
+    node = make_node(cfg, tf_buffer=sim.tf)
+    node.octomap_msg_received(OctomapMsg(resolution=res, binary_data=payload))
+    assert node.map is not None and node.map.distances_lut_created
+    assert node.map.resolution == res
+    # occupied voxels survived the roundtrip (octree key quantization:
+    # floor(c/res), distinct from the map's floor(c/res + 0.5) cells)
+    assert len(node.map.occupied_cells) == len(np.unique(
+        np.floor(thin / res).astype(int), axis=0))
