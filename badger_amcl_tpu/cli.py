@@ -15,7 +15,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import logging
 import signal
@@ -37,11 +36,9 @@ def load_config(path: Optional[str]):
 
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
-    fields = {f.name for f in dataclasses.fields(AMCLConfig)}
-    unknown = set(raw) - fields
-    if unknown:
-        log.warning("Ignoring unknown config keys: %s", sorted(unknown))
-    return AMCLConfig(**{k: v for k, v in raw.items() if k in fields})
+    # Accepts the reference's exact rosparam spellings (aliases + declared-
+    # but-unread params) so reference launch configs translate 1:1.
+    return AMCLConfig.from_params(raw, warn=log.warning)
 
 
 class _Shutdown:

@@ -52,6 +52,32 @@ class ResampleModelType(enum.Enum):
     SYSTEMATIC = "systematic"
 
 
+# Reference rosparam spellings that differ from our field names. The 2D node
+# reads `laser_scanner_*` (node_2d.cpp:66-68) and
+# `global_localization_planar_*` (node_2d.cpp:74-77) while the 3D node reads
+# `laser_*` (node_3d.cpp:64-66) and `global_localization_scanner_*`
+# (node_3d.cpp:75-77); both map onto one knob set here. The trailing
+# underscore in `beam_skip_error_threshold_` is a reference quirk
+# (node_2d.cpp:73) preserved as an accepted alias.
+REFERENCE_PARAM_ALIASES = {
+    "laser_scanner_off_map_factor": "laser_off_map_factor",
+    "laser_scanner_non_free_space_factor": "laser_non_free_space_factor",
+    "laser_scanner_non_free_space_radius": "laser_non_free_space_radius",
+    "global_localization_planar_off_map_factor": "global_localization_laser_off_map_factor",
+    "global_localization_planar_non_free_space_factor": "global_localization_laser_non_free_space_factor",
+    "global_localization_scanner_off_map_factor": "global_localization_laser_off_map_factor",
+    "global_localization_scanner_non_free_space_factor": "global_localization_laser_non_free_space_factor",
+    "beam_skip_error_threshold_": "beam_skip_error_threshold",
+}
+
+# Params the reference declares but never reads (verified against all
+# private_nh_.param sites): silently accepted so reference launch configs
+# load unmodified.
+REFERENCE_UNREAD_PARAMS = frozenset(
+    {"gui_publish_rate", "use_map_topic", "off_object_penalty_factor"}
+)
+
+
 def _parse_enum(enum_cls, value, default):
     """Reference behavior: unknown enum strings warn and fall back to the default
     (node.cpp:97-101,114-118; node_2d.cpp:89-92)."""
@@ -223,3 +249,27 @@ class AMCLConfig:
 
     def replace(self, **changes) -> "AMCLConfig":
         return dataclasses.replace(self, **changes)
+
+    @classmethod
+    def from_params(cls, raw: dict, warn=None) -> "AMCLConfig":
+        """Build a config from a reference-style rosparam dict.
+
+        Accepts the reference's exact parameter spellings (aliases above),
+        silently drops params the reference declares but never reads, and
+        warns (via `warn`, default logging) on anything unknown — the
+        reference's own behavior for unparsed params is to ignore them."""
+        import logging
+
+        if warn is None:
+            warn = logging.getLogger("badger_amcl_tpu").warning
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs, unknown = {}, []
+        for k, v in raw.items():
+            k = REFERENCE_PARAM_ALIASES.get(k, k)
+            if k in fields:
+                kwargs[k] = v
+            elif k not in REFERENCE_UNREAD_PARAMS:
+                unknown.append(k)
+        if unknown:
+            warn("Ignoring unknown config keys: %s", sorted(unknown))
+        return cls(**kwargs)

@@ -1,11 +1,20 @@
-"""Minimal binary OctoMap (.bt) reader/writer.
+"""Minimal OctoMap reader/writer: binary (.bt) and full (.ot) formats.
 
 Replaces the reference's dependency on the `octomap` / `octomap_msgs` C++
-libraries (used at node_3d.cpp:262-284 to decode map messages). Implements
-the documented `.bt` binary stream: an ASCII header followed by a
-depth-first node stream where every inner node contributes two bytes — two
-bits per child: 0b00 absent, 0b01 occupied leaf, 0b10 free leaf, 0b11 inner
-child (recursed in child order 0..7).
+libraries (used at node_3d.cpp:262-284 to decode map messages — the
+`binary ? binaryMsgToMap : fullMsgToMap` branch).
+
+Binary (.bt) stream: an ASCII header followed by a depth-first node stream
+where every inner node contributes two bytes — two bits per child: 0b00
+absent, 0b01 occupied leaf, 0b10 free leaf, 0b11 inner child (recursed in
+child order 0..7).
+
+Full (.ot, id OcTree) stream: ASCII header, then a depth-first node stream
+where every node contributes a 4-byte little-endian float (log-odds
+occupancy) and a 1-byte child-allocation mask (bit i set = child i present,
+recursed 0..7). A leaf is occupied when its log-odds exceeds octomap's
+default occupancy threshold of 0.5 probability = 0.0 log-odds
+(AbstractOccupancyOcTree::isNodeOccupied, used at octomap.cpp:222).
 
 Child index convention matches octomap: bit0 -> +x half, bit1 -> +y half,
 bit2 -> +z half; tree depth 16, center key 32768, leaf center coordinate
@@ -21,8 +30,14 @@ from typing import List, Tuple
 import numpy as np
 
 _HEADER_ID = "# Octomap OcTree binary file"
+_FULL_HEADER_ID = "# Octomap OcTree file"
 TREE_DEPTH = 16
 TREE_CENTER = 32768  # 2**(TREE_DEPTH-1)
+# logodds(0.5): octomap's default occupancy threshold (isNodeOccupied)
+OCC_LOG_ODDS_THRESHOLD = 0.0
+# octomap's default clamping bounds: logodds(0.971) / logodds(0.1192)
+_CLAMP_MAX_LOG_ODDS = 3.5
+_CLAMP_MIN_LOG_ODDS = -2.0
 
 
 @dataclass
@@ -60,27 +75,51 @@ def _expand(keys: np.ndarray, sizes: np.ndarray) -> np.ndarray:
     return np.concatenate(out, axis=0)
 
 
-def read_bt(path_or_bytes) -> BinaryOcTree:
+def _open(path_or_bytes):
     if isinstance(path_or_bytes, (bytes, bytearray)):
-        stream = io.BytesIO(path_or_bytes)
-    else:
-        stream = open(path_or_bytes, "rb")
-    try:
+        return io.BytesIO(path_or_bytes)
+    return open(path_or_bytes, "rb")
+
+
+def read_bt(path_or_bytes) -> BinaryOcTree:
+    with _open(path_or_bytes) as stream:
         return _read_stream(stream)
-    finally:
-        stream.close()
 
 
-def _read_stream(s) -> BinaryOcTree:
+def read_ot(path_or_bytes) -> BinaryOcTree:
+    """Read a full-format (.ot, id OcTree) octree — the fullMsgToMap branch
+    of node_3d.cpp:270-273."""
+    with _open(path_or_bytes) as stream:
+        return _read_full_stream(stream)
+
+
+def read_octree(path_or_bytes) -> BinaryOcTree:
+    """Dispatch on the header line: binary .bt or full .ot."""
+    with _open(path_or_bytes) as stream:
+        head = stream.readline().decode("ascii", "replace").strip()
+        stream.seek(0)
+        if head == _HEADER_ID:
+            return _read_stream(stream)
+        if head == _FULL_HEADER_ID:
+            return _read_full_stream(stream)
+        raise ValueError(f"not an octomap file (header {head!r})")
+
+
+def _read_header(s, expect_id: str, kind: str) -> float:
     line = s.readline().decode("ascii", "replace").strip()
-    if line != _HEADER_ID:
-        raise ValueError(f"not a .bt file (header {line!r})")
+    if line != expect_id:
+        raise ValueError(f"not a {kind} file (header {line!r})")
     resolution = None
     while True:
         line = s.readline().decode("ascii", "replace").strip()
         if line.startswith("#") or line == "":
             continue
         if line.startswith("id "):
+            tree_id = line.split(None, 1)[1]
+            if kind == ".ot" and tree_id != "OcTree":
+                # reference dynamic_casts to octomap::OcTree and asserts
+                # (node_3d.cpp:274-278); other tree types are unsupported
+                raise ValueError(f"unsupported octree id {tree_id!r}")
             continue
         if line.startswith("size "):
             continue
@@ -89,10 +128,14 @@ def _read_stream(s) -> BinaryOcTree:
             continue
         if line == "data":
             break
-        raise ValueError(f"unexpected .bt header line {line!r}")
+        raise ValueError(f"unexpected {kind} header line {line!r}")
     if resolution is None:
-        raise ValueError(".bt missing resolution")
+        raise ValueError(f"{kind} missing resolution")
+    return resolution
 
+
+def _read_stream(s) -> BinaryOcTree:
+    resolution = _read_header(s, _HEADER_ID, ".bt")
     data = s.read()
     occupied: List[Tuple[np.ndarray, int]] = []
     free: List[Tuple[np.ndarray, int]] = []
@@ -139,6 +182,109 @@ def _read_stream(s) -> BinaryOcTree:
     ok, osz = pack(occupied)
     fk, fsz = pack(free)
     return BinaryOcTree(resolution, ok, osz, fk, fsz)
+
+
+def _read_full_stream(s) -> BinaryOcTree:
+    resolution = _read_header(s, _FULL_HEADER_ID, ".ot")
+    data = s.read()
+
+    occupied: List[Tuple[np.ndarray, int]] = []
+    free: List[Tuple[np.ndarray, int]] = []
+
+    # Iterative DFS matching octomap's writeNodesRecurs order: per node a
+    # float32 log-odds value then a child-allocation byte; children 0..7.
+    pos = 0
+    root_key = np.array([0, 0, 0], dtype=np.int64)
+    stack = [(root_key, 0)]
+    while stack:
+        key, depth = stack.pop()
+        if pos + 5 > len(data):
+            raise ValueError("truncated .ot data stream")
+        value = np.frombuffer(data, dtype="<f4", count=1, offset=pos)[0]
+        mask = data[pos + 4]
+        pos += 5
+        if mask == 0:  # leaf: classify by log-odds occupancy threshold
+            size = 1 << (TREE_DEPTH - depth)
+            (occupied if value > OCC_LOG_ODDS_THRESHOLD else free).append(
+                (key, size)
+            )
+            continue
+        half = 1 << (TREE_DEPTH - depth - 1)
+        children = []
+        for i in range(8):
+            if not (mask >> i) & 1:
+                continue
+            off = np.array(
+                [half if (i & 1) else 0, half if (i & 2) else 0, half if (i & 4) else 0],
+                dtype=np.int64,
+            )
+            children.append((key + off, depth + 1))
+        stack.extend(reversed(children))
+
+    def pack(items):
+        if not items:
+            return np.zeros((0, 3), dtype=np.int64), np.zeros((0,), dtype=np.int64)
+        keys = np.stack([k for k, _ in items]).astype(np.int64)
+        sizes = np.array([s for _, s in items], dtype=np.int64)
+        return keys, sizes
+
+    ok, osz = pack(occupied)
+    fk, fsz = pack(free)
+    return BinaryOcTree(resolution, ok, osz, fk, fsz)
+
+
+def write_ot(path, resolution: float, occupied_centers: np.ndarray) -> None:
+    """Write a full-format (.ot) file containing the given occupied voxel
+    centers at clamping-max log-odds, everything else implicit. Inner nodes
+    get the max of their children's values (octomap's default pruning value
+    is irrelevant here — AMCL only reads leaves). Fixture twin of write_bt."""
+    centers = np.asarray(occupied_centers, dtype=np.float64)
+    keys = np.floor(centers / resolution).astype(np.int64) + TREE_CENTER
+    if np.any((keys < 0) | (keys >= 2 * TREE_CENTER)):
+        raise ValueError("voxel outside octree key range")
+    keyset = set(map(tuple, keys.tolist()))
+
+    chunks: List[bytes] = []
+    occ_val = np.float32(_CLAMP_MAX_LOG_ODDS).tobytes()
+
+    def emit(key: Tuple[int, int, int], depth: int) -> None:
+        if depth == TREE_DEPTH:
+            chunks.append(occ_val + bytes([0]))
+            return
+        half = 1 << (TREE_DEPTH - depth - 1)
+        present = []
+        for i in range(8):
+            ck = (
+                key[0] + (half if (i & 1) else 0),
+                key[1] + (half if (i & 2) else 0),
+                key[2] + (half if (i & 4) else 0),
+            )
+            if _cube_has_key(keyset, ck, half):
+                present.append((i, ck))
+        mask = 0
+        for i, _ in present:
+            mask |= 1 << i
+        chunks.append(occ_val + bytes([mask]))
+        for _, ck in present:
+            emit(ck, depth + 1)
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(10000)
+    try:
+        emit((0, 0, 0), 0)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    with open(path, "wb") as f:
+        f.write((_FULL_HEADER_ID + "\n").encode())
+        f.write(b"# (generated by badger_amcl_tpu)\n")
+        f.write(b"id OcTree\n")
+        f.write(f"size {len(keyset)}\n".encode())
+        f.write(f"res {resolution}\n".encode())
+        f.write(b"data\n")
+        f.write(b"".join(chunks))
 
 
 def write_bt(path, resolution: float, occupied_centers: np.ndarray) -> None:

@@ -49,11 +49,14 @@ class OccupancyGrid:
 
 @dataclasses.dataclass
 class OctomapMsg:
-    """octomap_msgs/Octomap (consumed at node_3d.cpp:199-218). Either raw
-    binary .bt payload bytes or a pre-parsed occupied-centers array."""
+    """octomap_msgs/Octomap (consumed at node_3d.cpp:199-218; decode branch
+    `binary ? binaryMsgToMap : fullMsgToMap` at node_3d.cpp:262-284). One of:
+    a complete binary .bt byte stream, a complete full .ot byte stream, or a
+    pre-parsed occupied-centers array."""
 
     resolution: float
     binary_data: Optional[bytes] = None
+    full_data: Optional[bytes] = None  # full-format (.ot) stream incl. header
     occupied_centers: Optional[np.ndarray] = None  # (K, 3) world meters
 
 

@@ -103,6 +103,8 @@ class Node:
         seed: int = 0,
     ):
         self.config = config
+        # restore_defaults snapshot (reference default_config_, node.cpp:192-197)
+        self.default_config = config
         self.tf = tf_buffer if tf_buffer is not None else TransformBuffer()
         self._outputs: Dict[str, List[Callable]] = {}
         self.key = jax.random.PRNGKey(seed)
@@ -602,9 +604,22 @@ class Node:
 
     # ------------------------------------------------------------- reconfigure
 
-    def reconfigure(self, new_config: AMCLConfig) -> None:
+    def reconfigure(
+        self, new_config: Optional[AMCLConfig] = None, restore_defaults: bool = False
+    ) -> None:
         """reconfigureCB (node.cpp:188-293): adopt the new config and rebuild
-        the filter around the last published pose."""
+        the filter around the last published pose.
+
+        `restore_defaults=True` discards `new_config` and reverts to the
+        config snapshotted at construction — the reference's
+        `config.restore_defaults` path (node.cpp:201-206), whose
+        `default_config_` is captured on the no-op first callback at startup
+        (node.cpp:192-197); our construction-time snapshot is the same
+        moment."""
+        if restore_defaults:
+            new_config = self.default_config
+        if new_config is None:
+            raise ValueError("reconfigure needs new_config or restore_defaults=True")
         self.config = new_config
         self.params = PFParams(
             min_samples=new_config.min_particles,

@@ -18,7 +18,7 @@ import numpy as np
 
 from badger_amcl_tpu.config import AMCLConfig
 from badger_amcl_tpu.maps.octomap_3d import OctoMap3D
-from badger_amcl_tpu.maps.octree_io import read_bt
+from badger_amcl_tpu.maps.octree_io import read_bt, read_ot
 from badger_amcl_tpu.node import scan_prep
 from badger_amcl_tpu.node.messages import OccupancyGrid, OctomapMsg, PointCloud2
 from badger_amcl_tpu.node.node import Node
@@ -121,6 +121,11 @@ class Node3D(Node):
         if msg.binary_data is not None:
             tree = read_bt(msg.binary_data)
             omap = OctoMap3D.from_binary_octree(tree, max_dist)
+        elif msg.full_data is not None:
+            # fullMsgToMap branch (node_3d.cpp:270-273): full probabilistic
+            # tree, leaves thresholded at logodds>0
+            tree = read_ot(msg.full_data)
+            omap = OctoMap3D.from_binary_octree(tree, max_dist)
         else:
             omap = OctoMap3D.from_occupied_points(
                 msg.occupied_centers, msg.resolution, max_dist
@@ -150,6 +155,12 @@ class Node3D(Node):
         s = cfg.map_scale_up_factor
         resolution = msg.resolution / s
         w, h = msg.width * s, msg.height * s
+        # Reference quirk preserved: the min bound is hard-coded {0.0, 0.0}
+        # and the grid's origin is ignored entirely (node_3d.cpp:189-190
+        # uses only width*res / height*res). A non-zero-origin grid therefore
+        # crops the same world window as a zero-origin one; setMapBounds then
+        # pads by max_distance_to_object and intersects with the octree's own
+        # extent (octomap.cpp:128-150), which bounds the damage in practice.
         self.occupancy_map_min = [0.0, 0.0]
         self.occupancy_map_max = [w * resolution, h * resolution]
         self.occupancy_bounds_received = True

@@ -74,9 +74,52 @@ def initial_pose_from_ros(m: Any) -> msgs.PoseWithCovarianceStamped:
 
 
 def octomap_from_ros(m: Any) -> msgs.OctomapMsg:
-    return msgs.OctomapMsg(
-        resolution=float(m.resolution),
-        binary_data=bytes(m.data) if getattr(m, "binary", True) else None,
+    """octomap_msgs/Octomap -> OctomapMsg. The ROS message carries a
+    headerless node stream plus id/resolution/binary fields; re-attach the
+    file header our readers expect (the readers mirror binaryMsgToMap /
+    fullMsgToMap, node_3d.cpp:262-284)."""
+    res = float(m.resolution)
+    tree_id = getattr(m, "id", "OcTree")
+    header = (
+        ("# Octomap OcTree binary file\n" if getattr(m, "binary", True)
+         else "# Octomap OcTree file\n")
+        + f"id {tree_id}\nsize 0\nres {res!r}\ndata\n"
+    ).encode()
+    payload = header + bytes(bytearray(m.data))
+    if getattr(m, "binary", True):
+        return msgs.OctomapMsg(resolution=res, binary_data=payload)
+    return msgs.OctomapMsg(resolution=res, full_data=payload)
+
+
+_POINT_FIELD_DTYPES = {
+    1: np.int8, 2: np.uint8, 3: np.int16, 4: np.uint16,
+    5: np.int32, 6: np.uint32, 7: np.float32, 8: np.float64,
+}
+
+
+def point_cloud_from_ros(m: Any) -> msgs.PointCloud2:
+    """sensor_msgs/PointCloud2 -> (K, 3) xyz array. Mirrors the reference's
+    pcl::fromROSMsg intake (node_3d.cpp:320-340); non-finite points are kept
+    (the scan prep handles them, as pcl does)."""
+    fields = {f.name: f for f in m.fields}
+    for axis in ("x", "y", "z"):
+        if axis not in fields:
+            raise ValueError(f"PointCloud2 missing field {axis!r}")
+    n = int(m.width) * int(m.height)
+    step = int(m.point_step)
+    raw = np.frombuffer(bytes(bytearray(m.data)), dtype=np.uint8)
+    raw = raw[: n * step].reshape(n, step)
+    prefix = ">" if getattr(m, "is_bigendian", False) else "<"
+    cols = []
+    for axis in ("x", "y", "z"):
+        f = fields[axis]
+        dt = np.dtype(_POINT_FIELD_DTYPES[int(f.datatype)]).newbyteorder(prefix)
+        off = int(f.offset)
+        col = raw[:, off : off + dt.itemsize].copy().view(dt)[:, 0]
+        cols.append(col.astype(np.float32))
+    stamp = m.header.stamp.to_sec() if hasattr(m.header.stamp, "to_sec") else float(m.header.stamp)
+    return msgs.PointCloud2(
+        stamp=stamp, frame_id=m.header.frame_id, points=np.stack(cols, axis=1)
     )
 
 
@@ -171,15 +214,35 @@ def run_ros_bridge(node, cfg, shutdown) -> int:
             ),
         )
 
+    is_3d = cfg.map_type == 3
+
     def on_scan(m):
-        scan = laser_scan_from_ros(m)
+        """scan (2D LaserScan) or cloud (3D PointCloud2) intake."""
+        scan = laser_scan_from_ros(m) if not is_3d else point_cloud_from_ros(m)
         sync_tf(cfg.odom_frame_id, cfg.base_frame_id, scan.stamp)
         sync_tf(cfg.base_frame_id, scan.frame_id, scan.stamp)
         node.scan_received(scan, rospy.get_time())
         node.spin_once(rospy.get_time())
 
-    rospy.Subscriber("scan", RosScan, on_scan, queue_size=1)
-    rospy.Subscriber("map", RosGrid, lambda m: node.map_msg_received(occupancy_grid_from_ros(m)), queue_size=1)
+    if is_3d:
+        # node_3d.cpp:96-111: cloud + octomap + (bounds-cropping) map
+        from sensor_msgs.msg import PointCloud2 as RosCloud
+        from octomap_msgs.msg import Octomap as RosOctomap
+
+        rospy.Subscriber("cloud", RosCloud, on_scan, queue_size=1)
+        rospy.Subscriber(
+            "octomap", RosOctomap,
+            lambda m: node.octomap_msg_received(octomap_from_ros(m)),
+            queue_size=1,
+        )
+        rospy.Subscriber(
+            "map", RosGrid,
+            lambda m: node.occupancy_map_msg_received(occupancy_grid_from_ros(m)),
+            queue_size=1,
+        )
+    else:
+        rospy.Subscriber("scan", RosScan, on_scan, queue_size=1)
+        rospy.Subscriber("map", RosGrid, lambda m: node.map_msg_received(occupancy_grid_from_ros(m)), queue_size=1)
     rospy.Subscriber("odom", RosOdom, lambda m: node.integrate_odom(odometry_from_ros(m)), queue_size=20)
     rospy.Subscriber(
         "initialpose", RosPWCS,

@@ -27,6 +27,52 @@ def test_yaml_config_load(tmp_path):
     assert cfg.laser_model_type == PlanarModelType.LIKELIHOOD_FIELD_GOMPERTZ
 
 
+def test_reference_param_spellings_load_unmodified():
+    """A reference 2D launch file's param dict loads 1:1: the exact rosparam
+    spellings (node_2d.cpp:66-77 incl. the beam_skip_error_threshold_
+    trailing-underscore quirk at :73, node_3d.cpp:73-77) map onto our fields
+    and declared-but-unread params are accepted silently."""
+    warnings = []
+    cfg = AMCLConfig.from_params(
+        {
+            "laser_scanner_off_map_factor": 0.7,
+            "laser_scanner_non_free_space_factor": 0.6,
+            "laser_scanner_non_free_space_radius": 0.4,
+            "global_localization_planar_off_map_factor": 0.2,
+            "global_localization_planar_non_free_space_factor": 0.3,
+            "global_localization_scanner_off_map_factor": 0.25,
+            "beam_skip_error_threshold_": 0.8,
+            "gui_publish_rate": 10.0,  # declared-but-never-read (node.cpp)
+            "use_map_topic": True,
+            "off_object_penalty_factor": 1.0,
+        },
+        warn=lambda *a: warnings.append(a),
+    )
+    assert cfg.laser_off_map_factor == 0.7
+    assert cfg.laser_non_free_space_factor == 0.6
+    assert cfg.laser_non_free_space_radius == 0.4
+    # later alias spelling wins for the shared field (dict order)
+    assert cfg.global_localization_laser_off_map_factor == 0.25
+    assert cfg.global_localization_laser_non_free_space_factor == 0.3
+    assert cfg.beam_skip_error_threshold == 0.8
+    assert warnings == []
+
+
+def test_reconfigure_restore_defaults():
+    """restore_defaults reverts to the construction snapshot
+    (node.cpp:192-206)."""
+    from badger_amcl_tpu.node.node_2d import Node2D
+
+    cfg = AMCLConfig.for_2d(min_particles=20, max_particles=80)
+    node = Node2D(cfg)
+    node.reconfigure(cfg.replace(max_particles=500, laser_z_hit=0.5))
+    assert node.config.max_particles == 500
+    node.reconfigure(restore_defaults=True)
+    assert node.config.max_particles == 80
+    assert node.config.laser_z_hit == cfg.laser_z_hit
+    assert node.params.max_samples == 80
+
+
 def test_cli_sim_smoke(tmp_path):
     rc = cli.main([
         "--sim", "--steps", "12", "--seed", "0",

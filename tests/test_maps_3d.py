@@ -100,6 +100,52 @@ def test_bt_roundtrip(tmp_path):
     np.testing.assert_allclose(got_sorted, want_sorted, atol=1e-9)
 
 
+def test_ot_roundtrip_matches_binary_twin(tmp_path):
+    """A full-format (.ot) fixture decodes to the same voxel set as its
+    binary (.bt) twin (the binary-or-full branch, node_3d.cpp:262-284)."""
+    from badger_amcl_tpu.maps.octree_io import read_octree, read_ot, write_ot
+
+    rng = np.random.default_rng(7)
+    centers = (rng.integers(-20, 20, (50, 3)) + 0.5) * 0.1
+    centers = np.unique(centers, axis=0)
+    bt_path, ot_path = str(tmp_path / "m.bt"), str(tmp_path / "m.ot")
+    write_bt(bt_path, 0.1, centers)
+    write_ot(ot_path, 0.1, centers)
+    vb = read_bt(bt_path).occupied_centers()
+    vf = read_ot(ot_path).occupied_centers()
+    vb = vb[np.lexsort(vb.T)]
+    vf = vf[np.lexsort(vf.T)]
+    np.testing.assert_allclose(vf, vb, atol=1e-9)
+    # dispatching reader picks the right format from the header
+    vd = read_octree(ot_path).occupied_centers()
+    assert len(vd) == len(vf)
+
+
+def test_node3d_accepts_full_octomap_msg():
+    """Full probabilistic octomap messages initialize the 3D node's map
+    (fullMsgToMap branch, node_3d.cpp:270-273)."""
+    import io
+
+    from badger_amcl_tpu.config import AMCLConfig
+    from badger_amcl_tpu.maps.octree_io import write_ot
+    from badger_amcl_tpu.node.messages import OctomapMsg
+    from badger_amcl_tpu.node.node_3d import Node3D
+
+    centers = np.array([[0.05, 0.05, 0.05], [0.35, 0.25, 0.15]])
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "m.ot")
+        write_ot(p, 0.1, centers)
+        blob = open(p, "rb").read()
+    node = Node3D(AMCLConfig.for_3d(min_particles=10, max_particles=50))
+    node.octomap_msg_received(OctomapMsg(resolution=0.1, full_data=blob))
+    assert node.map is not None
+    d0 = float(node.map.distance_at(node.map.world_to_map(
+        np.array([0.05, 0.05, 0.05]))))
+    assert d0 == 0.0
+
+
 def test_free_space_indices_cover_footprint():
     m = _mk_map()
     fsi = m.free_space_indices()
