@@ -10,10 +10,9 @@ per-cell beam-likelihood texture:
     corr[t, dj, di] = sum_b  Psi[(j0 + dj) + oj(t, b), (i0 + di) + oi(t, b)]
 
 with per-(yaw-bin, beam) integer offsets oj/oi = round(r_b * u(theta_t + a_b)
-/ res), computed in-kernel with scalar trig from SMEM-resident scan data.
-Building `corr` costs O(T_active x B) shifted-window adds — *independent of
-the particle count* — and particles then read their value with one small
-gather.
+/ res). Building `corr` costs O(T_active x B_valid) shifted-window adds —
+*independent of the particle count* — and particles then read their value
+with one small gather.
 
 This is the likelihood-field arm of Olson-style correlative scan matching:
 lattice rounding replaces exact per-endpoint rounding (each endpoint cell
@@ -21,6 +20,16 @@ differs by at most one map cell — below the sigma_hit length scale and far
 inside Monte-Carlo tolerance). The exact paths ("pallas" windowed kernel,
 "xla") remain available, and a lax.cond falls back to them for spread
 clouds, wide yaw ranges, over-long beams, or maps too big for VMEM.
+
+Performance structure (v2):
+- The per-tap work is pure data movement: offsets are precomputed *outside*
+  the kernel as one vectorized (T_MAX, B) trig pass, packed as int16 pairs
+  into int32, and read from SMEM — no scalar cos/sin/round per tap.
+- Occupied yaw bins and valid beams are *compacted* (argsort) before the
+  kernel, so the tap loop runs exactly t_n x nv iterations with no branches.
+- Two window heights are compiled (narrow 32 rows / standard 64 rows); a
+  lax.cond picks the narrow one when the particle row span allows — a
+  converged cloud's taps then move ~45% fewer bytes per tap.
 
 Mosaic constraints shaping the implementation: vector-load origins must be
 (8, 128)-aligned — arbitrary stencil shifts are aligned loads + two dynamic
@@ -40,11 +49,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 PAD_R = 192  # row padding: >= max |row offset| + 8 alignment margin
 PAD_C = 320  # col padding: >= max |col offset| + 128 alignment margin
-PWIN_R = 64  # particle-cell window rows (j)
+PWIN_R = 64  # particle-cell window rows (j), standard variant
+PWIN_R_NARROW = 32  # narrow variant for converged clouds
 PWIN_C = 128  # particle-cell window cols (i)
 T_MAX = 64  # max active yaw bins per update
-LOAD_R = PWIN_R + 8
-LOAD_C = PWIN_C + 128
 # rad/bin: stencil error r*delta/2 stays ~half a cell for r <= 160 cells
 # (8 m at 5 cm); 64 bins then cover 0.4 rad of yaw spread, comfortably more
 # than a converged filter's yaw range
@@ -56,61 +64,58 @@ MAX_PADDED_CELLS = 3 * 1024 * 1024
 
 def _kernel(
     # scalar prefetch (SMEM)
-    meta_ref,  # (4,) int32 — (t_count, window row0, window col0, t_min)
-    valid_ref,  # (B,) int32 — beam validity
-    tocc_ref,  # (T_MAX,) int32 — 1 where the yaw bin holds any particle
-    ranges_ref,  # (B,) f32
-    angles_ref,  # (B,) f32
+    meta_ref,  # (4,) int32 — (t_n, window row0, window col0, n_valid_beams)
+    off_ref,  # (T_MAX * B,) int32 — packed (oj << 16) | (oi & 0xffff)
     # VMEM
     tex_ref,  # (Hp, Wp) f32 padded likelihood texture
-    corr_ref,  # out (T_MAX, PWIN_R, PWIN_C) f32
+    corr_ref,  # out (T_MAX, rows, PWIN_C) f32
     *,
     n_beams: int,
-    inv_res: float,
+    rows: int,
 ):
+    load_r = rows + 8
+    load_c = PWIN_C + 128
     corr_ref[...] = jnp.zeros_like(corr_ref)
     row0 = meta_ref[1]
     col0 = meta_ref[2]
+    nv = meta_ref[3]
 
     def tap(k, _):
-        t = k // n_beams
-        b = k % n_beams
-
-        @pl.when((valid_ref[b] != 0) & (tocc_ref[t] != 0))
-        def _():
-            r = ranges_ref[b]
-            # theta_t = (t_min + t) * delta; t_min rides in meta (dynamic)
-            theta = (
-                (meta_ref[3] + t).astype(jnp.float32) * DELTA_THETA
-                + angles_ref[b]
-            )
-            oi = jnp.round(r * jnp.cos(theta) * inv_res).astype(jnp.int32)
-            oj = jnp.round(r * jnp.sin(theta) * inv_res).astype(jnp.int32)
-            sr = row0 + oj
-            sc = col0 + oi
-            ar = (sr // 8) * 8
-            ac = (sc // 128) * 128
-            dr = sr - ar
-            dc = sc - ac
-            block = tex_ref[pl.ds(pl.multiple_of(ar, 8), LOAD_R),
-                            pl.ds(pl.multiple_of(ac, 128), LOAD_C)]
-            block = pltpu.roll(block, -dr, axis=0)
-            block = pltpu.roll(block, -dc, axis=1)
-            corr_ref[pl.ds(t, 1)] = (
-                corr_ref[pl.ds(t, 1)] + block[0:PWIN_R, 0:PWIN_C][None, :, :]
-            )
-
+        t = k // nv
+        b = k - t * nv
+        packed = off_ref[t * n_beams + b]
+        oj = jax.lax.shift_right_arithmetic(packed, 16)
+        oi = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(packed, 16), 16
+        )
+        sr = row0 + oj
+        sc = col0 + oi
+        ar = (sr // 8) * 8
+        ac = (sc // 128) * 128
+        dr = sr - ar
+        dc = sc - ac
+        block = tex_ref[pl.ds(pl.multiple_of(ar, 8), load_r),
+                        pl.ds(pl.multiple_of(ac, 128), load_c)]
+        # pltpu.roll requires NON-NEGATIVE shifts; a traced negative amount
+        # silently miscompiles on the sublane axis (verified on v5e), so the
+        # left-roll by dr/dc is expressed as its right-roll complement.
+        block = pltpu.roll(block, (load_r - dr) % load_r, axis=0)
+        block = pltpu.roll(block, (load_c - dc) % load_c, axis=1)
+        corr_ref[pl.ds(t, 1)] = (
+            corr_ref[pl.ds(t, 1)] + block[0:rows, 0:PWIN_C][None, :, :]
+        )
         return 0
 
-    jax.lax.fori_loop(0, meta_ref[0] * n_beams, tap, 0, unroll=False)
+    jax.lax.fori_loop(0, meta_ref[0] * nv, tap, 0, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("n_beams", "inv_res", "interpret"))
-def _corr_call(tex_pad, meta, valid, tocc, ranges, angles, n_beams, inv_res,
-               interpret=False):
-    kern = functools.partial(_kernel, n_beams=n_beams, inv_res=inv_res)
+@functools.partial(
+    jax.jit, static_argnames=("n_beams", "rows", "interpret")
+)
+def _corr_call(tex_pad, meta, off, n_beams, rows, interpret=False):
+    kern = functools.partial(_kernel, n_beams=n_beams, rows=rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -118,9 +123,9 @@ def _corr_call(tex_pad, meta, valid, tocc, ranges, angles, n_beams, inv_res,
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T_MAX, PWIN_R, PWIN_C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_MAX, rows, PWIN_C), jnp.float32),
         interpret=interpret,
-    )(meta, valid, tocc, ranges, angles, tex_pad)
+    )(meta, off, tex_pad)
 
 
 def map_fits(omap) -> bool:
@@ -135,17 +140,23 @@ def map_fits(omap) -> bool:
 
 
 def corr_prepass(omap, spose, ranges, angles, valid):
-    """Lattice geometry: particle cells & window, yaw bins, dynamic fits
-    flag. All fused XLA reductions; nothing (M, B)-sized."""
+    """Lattice geometry: particle cells & window, compacted yaw bins and
+    beams, packed stencil offsets, dynamic fits flags. All fused XLA
+    vector work; nothing (M, B)-sized."""
     res = omap.resolution
     ij = omap.world_to_map(spose[:, :2])
     ci = jnp.clip(ij[..., 0], 0, omap.size_x - 1)
     cj = jnp.clip(ij[..., 1], 0, omap.size_y - 1)
     i0 = jnp.min(ci)
     j0 = jnp.min(cj)
-    span_ok = (jnp.max(ci) - i0 < PWIN_C) & (jnp.max(cj) - j0 < PWIN_R)
+    row_span = jnp.max(cj) - j0
+    span_ok = (jnp.max(ci) - i0 < PWIN_C) & (row_span < PWIN_R)
+    narrow_ok = span_ok & (row_span < PWIN_R_NARROW) & (
+        omap.size_y >= PWIN_R_NARROW
+    )
     i0 = jnp.clip(i0, 0, max(omap.size_x - PWIN_C, 0))
     j0 = jnp.clip(j0, 0, max(omap.size_y - PWIN_R, 0))
+    j0_n = jnp.clip(j0, 0, max(omap.size_y - PWIN_R_NARROW, 0))
 
     t_m = jnp.round(spose[:, 2] / DELTA_THETA).astype(jnp.int32)
     t_min = jnp.min(t_m)
@@ -156,13 +167,40 @@ def corr_prepass(omap, spose, ranges, angles, valid):
     max_cells = jnp.max(jnp.where(valid, ranges, 0.0)) / res
     range_ok = (max_cells < (PAD_C - 129)) & (max_cells < (PAD_R - 9))
 
-    # yaw-bin occupancy: empty bins (Gaussian tails) are skipped in-kernel
+    # yaw-bin occupancy -> compacted list of occupied bins (empty Gaussian
+    # tails and multimodal gaps are never iterated in-kernel)
     t_rel = jnp.clip(t_m - t_min, 0, T_MAX - 1)
     t_occ = jnp.zeros((T_MAX,), jnp.int32).at[t_rel].set(1, mode="drop")
+    t_order = jnp.argsort(1 - t_occ, stable=True).astype(jnp.int32)
+    t_n = jnp.sum(t_occ)
+    # map each particle's bin to its compacted slot
+    t_slot_of_bin = jnp.zeros((T_MAX,), jnp.int32).at[t_order].set(
+        jnp.arange(T_MAX, dtype=jnp.int32)
+    )
+
+    # beam compaction: valid beams first (beam order is irrelevant to the sum)
+    b_order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
+    nv = jnp.sum(valid).astype(jnp.int32)
+    ranges_c = ranges.astype(jnp.float32)[b_order]
+    angles_c = angles.astype(jnp.float32)[b_order]
+
+    # packed integer offsets for every (compacted bin, compacted beam):
+    # one vectorized (T_MAX, B) trig pass replaces per-tap scalar trig
+    theta = (
+        (t_min + t_order[:, None]).astype(jnp.float32) * DELTA_THETA
+        + angles_c[None, :]
+    )
+    inv_res = jnp.float32(1.0 / res)
+    oi = jnp.round(ranges_c[None, :] * jnp.cos(theta) * inv_res).astype(jnp.int32)
+    oj = jnp.round(ranges_c[None, :] * jnp.sin(theta) * inv_res).astype(jnp.int32)
+    off = jnp.left_shift(oj, 16) | (oi & 0xFFFF)
+
     return {
-        "ci": ci, "cj": cj, "i0": i0, "j0": j0,
-        "t_m": t_m, "t_min": t_min, "t_count": t_count, "t_occ": t_occ,
+        "ci": ci, "cj": cj, "i0": i0, "j0": j0, "j0_narrow": j0_n,
+        "t_slot": t_slot_of_bin[t_rel], "t_n": t_n, "nv": nv,
+        "off": off.reshape(-1),
         "fits": span_ok & yaw_ok & range_ok,
+        "narrow": narrow_ok & yaw_ok & range_ok,
     }
 
 
@@ -181,23 +219,24 @@ def corr_values(omap, tex_psi, offmap_psi, spose, ranges, angles, valid, pre,
     tex_pad = jax.lax.dynamic_update_slice(
         tex_pad, tex_psi.astype(jnp.float32), (PAD_R, PAD_C)
     )
+    n_beams = int(ranges.shape[0])
 
-    meta = jnp.stack(
-        [pre["t_count"], pre["j0"] + PAD_R, pre["i0"] + PAD_C, pre["t_min"]]
-    ).astype(jnp.int32)
-    corr = _corr_call(
-        tex_pad,
-        meta,
-        valid.astype(jnp.int32),
-        pre["t_occ"],
-        ranges.astype(jnp.float32),
-        angles.astype(jnp.float32),
-        n_beams=int(ranges.shape[0]),
-        inv_res=float(1.0 / omap.resolution),
-        interpret=interpret,
+    def run(rows, j0):
+        meta = jnp.stack(
+            [pre["t_n"], j0 + PAD_R, pre["i0"] + PAD_C, jnp.maximum(pre["nv"], 1)]
+        ).astype(jnp.int32)
+        corr = _corr_call(
+            tex_pad, meta, pre["off"], n_beams=n_beams, rows=rows,
+            interpret=interpret,
+        )
+        dj = jnp.clip(pre["cj"] - j0, 0, rows - 1)
+        di = jnp.clip(pre["ci"] - pre["i0"], 0, PWIN_C - 1)
+        flat = (pre["t_slot"] * rows + dj) * PWIN_C + di
+        return jnp.take(corr.reshape(-1), flat)
+
+    return jax.lax.cond(
+        pre["narrow"],
+        lambda _: run(PWIN_R_NARROW, pre["j0_narrow"]),
+        lambda _: run(PWIN_R, pre["j0"]),
+        operand=None,
     )
-    t_rel = jnp.clip(pre["t_m"] - pre["t_min"], 0, T_MAX - 1)
-    dj = jnp.clip(pre["cj"] - pre["j0"], 0, PWIN_R - 1)
-    di = jnp.clip(pre["ci"] - pre["i0"], 0, PWIN_C - 1)
-    flat = (t_rel * PWIN_R + dj) * PWIN_C + di
-    return jnp.take(corr.reshape(-1), flat)

@@ -32,6 +32,10 @@ import jax.numpy as jnp
 from badger_amcl_tpu.pf import kld
 from badger_amcl_tpu.pf.types import ClusterStats
 
+# Fast-path capacity for the one-hot MXU segment sums; clouds with more live
+# clusters than this use the scalar segment_sum fallback.
+MAX_FAST_CLUSTERS = 128
+
 
 def _box_min(g3):
     """Separable 3x3x3 minimum (Moore neighborhood incl. self) via rolls.
@@ -87,28 +91,45 @@ def compute_cluster_stats(poses, weights, active, params) -> ClusterStats:
     is_root = occ & (labels_grid == cell_idx)
     rank_grid = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # rank at root cells
     cluster_count = jnp.sum(is_root).astype(jnp.int32)
-    # per-cell cluster rank: rank of the cell's label's root
-    cell_rank = rank_grid[jnp.clip(labels_grid, 0, n_cells - 1)]
+    # per-PARTICLE rank resolution: gather each particle's cell label, then
+    # the label root's rank — two M-sized gathers. (Resolving rank per grid
+    # cell first would gather over every cell: ~13x more elements and ~5 ms
+    # at the default 128x128x40 grid.)
+    lbl_p = labels_grid[flat]
+    rank_p = rank_grid[jnp.clip(lbl_p, 0, n_cells - 1)]
 
-    pc = jnp.where(active, cell_rank[flat], m - 1).astype(jnp.int32)
+    pc = jnp.where(active, rank_p, m - 1).astype(jnp.int32)
     pc = jnp.clip(pc, 0, m - 1)
 
     w = jnp.where(active, weights, 0.0)
     x, y, th = poses[:, 0], poses[:, 1], poses[:, 2]
     c, s = jnp.cos(th), jnp.sin(th)
 
-    def seg(v):
-        return jax.ops.segment_sum(v, pc, num_segments=m)
+    # All nine per-cluster accumulators at once. Almost always the live
+    # cluster count is tiny (converged cloud: 1-5), so the (9, M) @ (M, K)
+    # one-hot MXU contraction replaces nine ~7.5 ns/element scalar
+    # scatter-adds (~3.4 ms/step at 50k particles); clouds with more than K
+    # clusters (deep global localization) fall back to segment_sum.
+    vals = jnp.stack(
+        [w, jnp.where(active, 1.0, 0.0), w * x, w * y, w * c, w * s,
+         w * x * x, w * x * y, w * y * y]
+    ).astype(jnp.float32)
+    k_fast = min(MAX_FAST_CLUSTERS, m)
 
-    cw = seg(w)
-    cnt = seg(jnp.where(active, 1, 0).astype(jnp.int32))
-    mx = seg(w * x)
-    my = seg(w * y)
-    mc = seg(w * c)
-    ms = seg(w * s)
-    cxx = seg(w * x * x)
-    cxy = seg(w * x * y)
-    cyy = seg(w * y * y)
+    def seg_fast(_):
+        from badger_amcl_tpu.ops import mxu_gather
+
+        sums_k = mxu_gather.segment_sums_small(vals, pc, k_fast)
+        return jnp.pad(sums_k, ((0, 0), (0, m - k_fast)))
+
+    def seg_slow(_):
+        return jnp.stack(
+            [jax.ops.segment_sum(v, pc, num_segments=m) for v in vals]
+        )
+
+    sums = jax.lax.cond(cluster_count <= k_fast, seg_fast, seg_slow, operand=None)
+    cw, cnt_f, mx, my, mc, ms, cxx, cxy, cyy = sums
+    cnt = jnp.round(cnt_f).astype(jnp.int32)
 
     root = jnp.arange(m) < cluster_count
 

@@ -28,6 +28,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from badger_amcl_tpu.ops import mxu_gather
 from badger_amcl_tpu.pf import cluster, gaussian, kld
 from badger_amcl_tpu.pf.types import ClusterStats, MCLState, PFParams
 
@@ -217,7 +218,7 @@ def _resample_multinomial(
     use_random = jax.random.uniform(k1, (m,)) < w_diff
     r = jax.random.uniform(k2, (m,))
     idx = _pick_indices(state.weights, r)
-    picked = state.poses[idx]
+    picked = mxu_gather.gather_rows(state.poses, idx)
     new_poses = jnp.where(use_random[:, None], random_pose_pool, picked)
 
     # Stop index: first n (1-based) with n > resampleLimit(bins among first n)
@@ -257,7 +258,7 @@ def _resample_systematic(
     i = jnp.arange(m, dtype=jnp.int32)
     t = jnp.mod(start + (i - num_random).astype(jnp.float32) * delta, 1.0)
     idx = _pick_indices(state.weights, t)
-    picked = state.poses[idx]
+    picked = mxu_gather.gather_rows(state.poses, idx)
     new_poses = jnp.where((i < num_random)[:, None], random_pose_pool, picked)
     return new_poses, new_count
 

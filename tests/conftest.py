@@ -21,6 +21,28 @@ import pytest  # noqa: E402
 from badger_amcl_tpu.maps import CellState, OccupancyMap2D  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (full E2E/robustness suite, ~10 min)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: slow E2E/robustness tests, skipped unless --runslow"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow: run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
 @pytest.fixture(scope="session")
 def box_map():
     """40x40 @ 0.1 m map (world spans [-2, 2] m, center origin): border walls

@@ -51,6 +51,7 @@ def test_range_image_matches_raycast(beam_map):
     assert (err < 0.3).mean() > 0.85, (err < 0.3).mean()
 
 
+@pytest.mark.slow
 def test_beam_kernel_estimator_agreement(beam_map):
     """Lattice beam kernel vs exact beam model: per-particle deviations are
     bounded-ish; the weighted-mean estimator must agree."""
@@ -78,6 +79,7 @@ def test_beam_kernel_estimator_agreement(beam_map):
     np.testing.assert_allclose(mean_k[:2], mean_x[:2], atol=0.02)
 
 
+@pytest.mark.slow
 def test_beam_kernel_spread_falls_back(beam_map):
     key = jax.random.PRNGKey(2)
     poses = jnp.concatenate(

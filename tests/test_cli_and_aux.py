@@ -13,6 +13,7 @@ from badger_amcl_tpu.config import AMCLConfig, OdomModelType, PlanarModelType
 from badger_amcl_tpu.node import checkpoint, ros_bridge
 from badger_amcl_tpu.pf import PFParams, init_with_gaussian
 from badger_amcl_tpu.utils.profiling import PhaseTimer
+import pytest
 
 
 def test_yaml_config_load(tmp_path):
@@ -58,6 +59,7 @@ def test_reference_param_spellings_load_unmodified():
     assert warnings == []
 
 
+@pytest.mark.slow
 def test_reconfigure_restore_defaults():
     """restore_defaults reverts to the construction snapshot
     (node.cpp:192-206)."""
@@ -73,6 +75,7 @@ def test_reconfigure_restore_defaults():
     assert node.params.max_samples == 80
 
 
+@pytest.mark.slow
 def test_cli_sim_smoke(tmp_path):
     rc = cli.main([
         "--sim", "--steps", "12", "--seed", "0",

@@ -40,6 +40,7 @@ def fleet_inputs(box_map):
     return states, scans, pools, odom_poses, odom_deltas, alphas
 
 
+@pytest.mark.slow
 def test_fleet_vmapped_step(box_map, fleet_inputs):
     states, scans, pools, odom_poses, odom_deltas, alphas = fleet_inputs
     step = make_fleet_step(PARAMS)
@@ -56,6 +57,7 @@ def test_fleet_vmapped_step(box_map, fleet_inputs):
     assert 0.0 <= float(h["converged_frac"]) <= 1.0
 
 
+@pytest.mark.slow
 def test_fleet_sharded_step_matches_local(box_map, fleet_inputs):
     states, scans, pools, odom_poses, odom_deltas, alphas = fleet_inputs
     devices = jax.devices()

@@ -7,8 +7,10 @@ import numpy as np
 
 import __graft_entry__ as graft
 from badger_amcl_tpu import mcl
+import pytest
 
 
+@pytest.mark.slow
 def test_entry_compiles_and_runs():
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
@@ -19,14 +21,17 @@ def test_entry_compiles_and_runs():
     np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_2():
     graft.dryrun_multichip(2)
 
 
+@pytest.mark.slow
 def test_fused_step_backends_agree():
     """xla vs pallas_interpret full-step agreement on a concentrated cloud."""
     omap, params, state, scan, sp, pool = graft._build_setup(

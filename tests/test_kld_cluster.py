@@ -13,6 +13,7 @@ import numpy as np
 from badger_amcl_tpu.pf import kld
 from badger_amcl_tpu.pf.cluster import compute_cluster_stats
 from badger_amcl_tpu.pf.types import PFParams
+import pytest
 
 
 HIST = (64, 64, 40)
@@ -47,6 +48,7 @@ def test_leaf_count_basics():
     assert _leaf_count([[1, 1, 1], [1.2, 1.2, 1.02]]) == 1  # same 0.5/0.5/10deg bin
 
 
+@pytest.mark.slow
 def test_cluster_adjacency_merging():
     # Reference semantics (test_badger_amcl.cpp:64-81): bins within the 3x3x3
     # neighborhood merge into one cluster.

@@ -100,6 +100,7 @@ def test_full_model_through_backend(big_map):
     np.testing.assert_allclose(np.asarray(p_k), np.asarray(p_x), rtol=0.02)
 
 
+@pytest.mark.slow
 def test_corr_backend_matches_xla(big_map):
     """Stencil-correlation backend vs exact XLA on every LF-family model.
 
@@ -132,6 +133,7 @@ def test_corr_backend_matches_xla(big_map):
         np.testing.assert_allclose(mean_c, mean_x, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_corr_wide_yaw_falls_back(big_map):
     """Yaw spread beyond T_MAX bins must route to the exact fallback."""
     from badger_amcl_tpu.ops import corr_kernel

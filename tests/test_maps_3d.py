@@ -10,6 +10,7 @@ import jax.numpy as jnp
 
 from badger_amcl_tpu.maps import OctoMap3D
 from badger_amcl_tpu.maps.octree_io import read_bt, write_bt
+import pytest
 
 
 def _mk_map(res=0.05, max_dist=0.3):
@@ -121,6 +122,7 @@ def test_ot_roundtrip_matches_binary_twin(tmp_path):
     assert len(vd) == len(vf)
 
 
+@pytest.mark.slow
 def test_node3d_accepts_full_octomap_msg():
     """Full probabilistic octomap messages initialize the 3D node's map
     (fullMsgToMap branch, node_3d.cpp:270-273)."""

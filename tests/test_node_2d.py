@@ -54,6 +54,7 @@ def _pose_err(sim, node):
 
 @pytest.mark.parametrize("model", ["likelihood_field", "beam", "likelihood_field_prob",
                                    "likelihood_field_gompertz"])
+@pytest.mark.slow
 def test_tracking_all_models(model):
     overrides = {"laser_model_type": model}
     if model == "likelihood_field_gompertz":
@@ -113,6 +114,7 @@ def test_update_gating_no_motion():
     assert float(node.state.w_fast) == w0  # no sensor updates happened
 
 
+@pytest.mark.slow
 def test_global_localization_recovers():
     """Kidnapped robot: the global_localization service (node.cpp:870-883)
     scatters particles uniformly — here with the reference's score-rejected
@@ -179,6 +181,7 @@ def test_pose_persistence_through_node(tmp_path):
     np.testing.assert_allclose(node2.init_pose[:2], sim.true_pose[:2], atol=0.3)
 
 
+@pytest.mark.slow
 def test_reconfigure_rebuilds_filter():
     sim, node = _mk()
     _drive(sim, node, 6)

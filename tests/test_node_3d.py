@@ -58,6 +58,7 @@ def _drive(sim, node, steps, v=0.25, w=0.2):
         node.scan_received(sim.make_cloud())
 
 
+@pytest.mark.slow
 def test_tracking_3d(setup_3d):
     sim, cfg, pts, res = setup_3d
     node = make_node(cfg, tf_buffer=sim.tf)
@@ -108,6 +109,25 @@ def test_wait_for_occupancy_map_defers_bake(setup_3d):
     node.occupancy_map_msg_received(grid)
     assert node.map.distances_lut_created
     assert node.free_space_indices is not None
+
+
+def test_occupancy_bounds_ignore_grid_origin(setup_3d):
+    """Regression: a non-zero-origin OccupancyGrid yields the SAME crop
+    bounds as a zero-origin one. The reference hard-codes
+    occupancy_map_min_ = {0.0, 0.0} and derives max from width/height alone,
+    ignoring msg.info.origin entirely (node_3d.cpp:189-190) — preserved
+    deliberately, not 'fixed'."""
+    sim, cfg, pts, res = setup_3d
+    cfg = cfg.replace(wait_for_occupancy_map=True)
+    node = make_node(cfg, tf_buffer=sim.tf)
+    node.octomap_msg_received(OctomapMsg(resolution=res, occupied_centers=pts))
+    grid = OccupancyGrid(width=40, height=30, resolution=0.2,
+                         origin_x=-3.5, origin_y=7.25,
+                         data=np.zeros(1200, np.int8))
+    node.occupancy_map_msg_received(grid)
+    assert node.occupancy_map_min == [0.0, 0.0]
+    assert node.occupancy_map_max == [pytest.approx(8.0), pytest.approx(6.0)]
+    assert node.map.distances_lut_created
 
 
 def test_scanner_mount_extrinsic(setup_3d):

@@ -6,6 +6,7 @@ import numpy as np
 from badger_amcl_tpu.config import AMCLConfig
 from badger_amcl_tpu.node import make_node
 from badger_amcl_tpu.sim import Sim2D, make_room_grid
+import pytest
 
 
 def _mk(**overrides):
@@ -30,6 +31,7 @@ def _drive(sim, node, steps):
         node.spin_once(sim.t)
 
 
+@pytest.mark.slow
 def test_alt_frame_outputs():
     """global_alt_frame_id duplicates pose + particlecloud with the alt frame
     (node.cpp:137-143,351-356,438-444)."""
@@ -80,6 +82,7 @@ def test_tf_broadcast_disabled():
     assert tfs == []
 
 
+@pytest.mark.slow
 def test_full_state_restore_through_node(tmp_path):
     sim, node = _mk()
     _drive(sim, node, 8)

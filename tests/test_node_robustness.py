@@ -9,6 +9,7 @@ import numpy as np
 from badger_amcl_tpu.config import AMCLConfig
 from badger_amcl_tpu.node import make_node
 from badger_amcl_tpu.sim import Sim2D, make_room_grid
+import pytest
 
 
 def _mk(config_overrides=None, start=(-2.5, -2.5, 0.2), grid_kw=None):
@@ -41,18 +42,21 @@ def _err(sim, node):
     return math.hypot(est[0] - sim.true_pose[0], est[1] - sim.true_pose[1])
 
 
+@pytest.mark.slow
 def test_systematic_resampling_e2e():
     sim, node = _mk({"resample_model_type": "systematic"})
     _drive(sim, node, 22)
     assert _err(sim, node) < 0.3
 
 
+@pytest.mark.slow
 def test_omni_odometry_e2e():
     sim, node = _mk({"odom_model_type": "omni"})
     _drive(sim, node, 22)
     assert _err(sim, node) < 0.3
 
 
+@pytest.mark.slow
 def test_gaussian_odometry_e2e():
     """The Badger gaussian model consumes the odometry integrator's absolute
     motion (odom.cpp:257-308 + node.cpp:1053-1097)."""
@@ -65,6 +69,7 @@ def test_gaussian_odometry_e2e():
     assert _err(sim, node) < 0.3
 
 
+@pytest.mark.slow
 def test_supersampled_map_e2e():
     """map_scale_up_factor supersampling through the full pipeline
     (node_2d.cpp:265-295)."""
@@ -74,6 +79,7 @@ def test_supersampled_map_e2e():
     assert _err(sim, node) < 0.3
 
 
+@pytest.mark.slow
 def test_reconfigure_during_global_localization():
     """Live reconfigure while globally localizing must rebuild cleanly and
     keep working (reconfigureCB rebuilds the PF, node.cpp:188-293)."""
@@ -97,6 +103,7 @@ def test_reconfigure_during_global_localization():
     assert node.last_published_pose is not None
 
 
+@pytest.mark.slow
 def test_second_map_received():
     """A new map message rebuilds scanners but keeps the pose (first map
     flag controls the init path, node_2d.cpp:202-259)."""

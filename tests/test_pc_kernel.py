@@ -57,6 +57,7 @@ def _poses(n=300, center=(10.0, 10.0, 0.7), seed=5):
     return (base[None, :] + noise).astype(jnp.float32)
 
 
+@pytest.mark.slow
 def test_pc_kernel_matches_xla(voxel_map):
     pts = _cloud()
     poses = _poses()

@@ -16,6 +16,7 @@ import numpy as np
 from badger_amcl_tpu.pf import kld
 from badger_amcl_tpu.pf.filter import _pick_indices
 from badger_amcl_tpu.pf.types import PFParams
+import pytest
 
 HIST = (64, 64, 40)
 
@@ -56,6 +57,7 @@ def _ref_multinomial(weights, poses, rs, use_random, random_poses,
     return np.array(out), count
 
 
+@pytest.mark.slow
 def test_multinomial_matches_reference_sequence():
     rng = np.random.default_rng(0)
     m = 512
