@@ -72,6 +72,12 @@ class OccupancyMap2D:
     # optional per-angle range image for the fast beam model
     # (uint16 (K, H, W) cells; see maps/range_image.py)
     range_image: Optional[jnp.ndarray] = None
+    # optional pre-baked padded psi texture for the stencil-correlation
+    # kernel (ops/corr_kernel.py), tagged by the planar model it was baked
+    # for. Baked once per (map, sensor params) like the distance LUT itself
+    # (sensors.planar.bake_corr_texture); rebaked on reconfigure.
+    corr_psi_pad: Optional[jnp.ndarray] = None
+    corr_psi_model: Optional[str] = None
 
     # --- construction -----------------------------------------------------
 
@@ -222,20 +228,23 @@ class OccupancyMap2D:
 # as leaves, geometry as hashable aux data) instead of baking the textures
 # into the compiled HLO as constants.
 def _occ_flatten(m: OccupancyMap2D):
-    leaves = (m.cells, m.distances, m.range_image)
+    leaves = (m.cells, m.distances, m.range_image, m.corr_psi_pad)
     aux = (m.resolution, m.size_x, m.size_y, m.origin_x, m.origin_y,
-           m.max_distance_to_object, m.distances is None, m.range_image is None)
+           m.max_distance_to_object, m.distances is None, m.range_image is None,
+           m.corr_psi_pad is None, m.corr_psi_model)
     return leaves, aux
 
 
 def _occ_unflatten(aux, leaves):
-    res, sx, sy, ox, oy, maxd, no_dist, no_ri = aux
-    cells, distances, range_image = leaves
+    res, sx, sy, ox, oy, maxd, no_dist, no_ri, no_psi, psi_model = aux
+    cells, distances, range_image, corr_psi_pad = leaves
     return OccupancyMap2D(
         resolution=res, size_x=sx, size_y=sy, origin_x=ox, origin_y=oy,
         cells=cells, distances=None if no_dist else distances,
         max_distance_to_object=maxd,
         range_image=None if no_ri else range_image,
+        corr_psi_pad=None if no_psi else corr_psi_pad,
+        corr_psi_model=psi_model,
     )
 
 

@@ -139,6 +139,25 @@ class Node2D(Node):
         pose_bak = [p.scanner_pose for p in self.scanner_params]
         self._base_params = self._make_params()
         self.scanner_params = [self._make_params(sp) for sp in pose_bak]
+        self._corr_tex_key = None  # params changed: re-bake on next scan
+
+    def _ensure_corr_texture(self, range_max: float) -> None:
+        """Lazily (re)bake the stencil-correlation psi texture — a one-shot
+        per (map, model, mixture params, range_max), mirroring how the
+        reference bakes its distance LUT at model setup
+        (setModelLikelihoodField*, planar_scanner.cpp:67-113)."""
+        if not self.backend.startswith("pallas_corr") or self.map is None:
+            return
+        from badger_amcl_tpu.sensors.planar import CORR_MODELS, bake_corr_texture
+
+        model = self.config.laser_model_type.value
+        if model not in CORR_MODELS:
+            return
+        key = (id(self.map.distances), model, range_max)
+        if getattr(self, "_corr_tex_key", None) == key:
+            return
+        self.map = bake_corr_texture(self.map, self._base_params, range_max, model)
+        self._corr_tex_key = (id(self.map.distances), model, range_max)
 
     # ------------------------------------------------------------------ map
 
@@ -253,6 +272,7 @@ class Node2D(Node):
             range_max=jnp.float32(range_max),
         )
         self.latest_scan = pscan
+        self._ensure_corr_texture(float(range_max))
         with self.timers.phase("sensor_update"):
             self.state = _sensor_update_jit(
                 self.state,

@@ -28,11 +28,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from badger_amcl_tpu.ops.corr_kernel import (
-    DELTA_THETA,
     PWIN_C,
     PWIN_R,
     T_MAX,
 )
+
+# Fixed yaw-bin width for the beam lattice (corr_kernel's is adaptive, but
+# the range-image kernel's angle discretization is tied to the baked K bins,
+# so it keeps the original fixed contract: r*delta/2 <= half a cell at 8 m
+# of 5 cm cells).
+DELTA_THETA = 1.0 / 160.0
 
 MAX_RI_BYTES = 6 * 1024 * 1024  # VMEM budget for the compacted (K, 64, 128) u16
 

@@ -53,10 +53,13 @@ PWIN_R = 64  # particle-cell window rows (j), standard variant
 PWIN_R_NARROW = 32  # narrow variant for converged clouds
 PWIN_C = 128  # particle-cell window cols (i)
 T_MAX = 64  # max active yaw bins per update
-# rad/bin: stencil error r*delta/2 stays ~half a cell for r <= 160 cells
-# (8 m at 5 cm); 64 bins then cover 0.4 rad of yaw spread, comfortably more
-# than a converged filter's yaw range
-DELTA_THETA = 1.0 / 160.0
+# yaw-bin width is ADAPTIVE: delta = 1/max_range_cells keeps the stencil
+# rounding error r*delta/2 at <= half a map cell for every beam of the scan
+# at hand (short-range scans get proportionally coarser bins -> fewer taps
+# and a wider covered yaw span), clamped to [1/MAX_RANGE_CELLS (the padding
+# envelope), 1/MIN_RANGE_CELLS].
+MIN_RANGE_CELLS = 16.0
+MAX_RANGE_CELLS = 183.0  # = PAD_R - 9, the offset magnitude the padding allows
 # VMEM budget for the padded f32 texture (tpu.DynamicRotateOp is 32-bit
 # only, so the in-kernel texture must be f32); bigger maps fall back (static)
 MAX_PADDED_CELLS = 3 * 1024 * 1024
@@ -158,14 +161,15 @@ def corr_prepass(omap, spose, ranges, angles, valid):
     j0 = jnp.clip(j0, 0, max(omap.size_y - PWIN_R, 0))
     j0_n = jnp.clip(j0, 0, max(omap.size_y - PWIN_R_NARROW, 0))
 
-    t_m = jnp.round(spose[:, 2] / DELTA_THETA).astype(jnp.int32)
-    t_min = jnp.min(t_m)
-    t_count = jnp.max(t_m) - t_min + 1
-    yaw_ok = t_count <= T_MAX
-
     # max stencil offset magnitude is bounded by the longest valid range
     max_cells = jnp.max(jnp.where(valid, ranges, 0.0)) / res
     range_ok = (max_cells < (PAD_C - 129)) & (max_cells < (PAD_R - 9))
+
+    dtheta = 1.0 / jnp.clip(max_cells, MIN_RANGE_CELLS, MAX_RANGE_CELLS)
+    t_m = jnp.round(spose[:, 2] / dtheta).astype(jnp.int32)
+    t_min = jnp.min(t_m)
+    t_count = jnp.max(t_m) - t_min + 1
+    yaw_ok = t_count <= T_MAX
 
     # yaw-bin occupancy -> compacted list of occupied bins (empty Gaussian
     # tails and multimodal gaps are never iterated in-kernel)
@@ -187,7 +191,7 @@ def corr_prepass(omap, spose, ranges, angles, valid):
     # packed integer offsets for every (compacted bin, compacted beam):
     # one vectorized (T_MAX, B) trig pass replaces per-tap scalar trig
     theta = (
-        (t_min + t_order[:, None]).astype(jnp.float32) * DELTA_THETA
+        (t_min + t_order[:, None]).astype(jnp.float32) * dtheta
         + angles_c[None, :]
     )
     inv_res = jnp.float32(1.0 / res)
@@ -204,21 +208,25 @@ def corr_prepass(omap, spose, ranges, angles, valid):
     }
 
 
-def corr_values(omap, tex_psi, offmap_psi, spose, ranges, angles, valid, pre,
-                interpret=False):
-    """Build the correlation table and gather each particle's value.
-
-    tex_psi: (H, W) per-cell beam likelihood (model-specific transform of the
-    distance field). offmap_psi: value for endpoints beyond the map
-    (psi(max_distance), planar_scanner.cpp:295-300) — painted into the
-    padding. Returns (M,) f32 of sum_b psi at each particle's lattice pose."""
+def build_tex_pad(omap, tex_psi, offmap_psi):
+    """Pad the per-cell psi texture: the margin is painted with the off-map
+    psi value (psi(max_distance), planar_scanner.cpp:295-300). One-shot per
+    (map, params) when baked via sensors.planar.bake_corr_texture."""
     tex_pad = jnp.zeros(
         (omap.size_y + 2 * PAD_R, omap.size_x + 2 * PAD_C), jnp.float32
     )
     tex_pad = tex_pad + offmap_psi.astype(jnp.float32)
-    tex_pad = jax.lax.dynamic_update_slice(
+    return jax.lax.dynamic_update_slice(
         tex_pad, tex_psi.astype(jnp.float32), (PAD_R, PAD_C)
     )
+
+
+def corr_values(omap, tex_pad, spose, ranges, angles, valid, pre,
+                interpret=False):
+    """Build the correlation table and gather each particle's value.
+
+    tex_pad: padded psi texture from `build_tex_pad`. Returns (M,) f32 of
+    sum_b psi at each particle's lattice pose."""
     n_beams = int(ranges.shape[0])
 
     def run(rows, j0):

@@ -125,13 +125,61 @@ def _beam_endpoints_dist(omap, scan, spose, backend="xla"):
     return zt, valid
 
 
-def _corr_dispatch(omap, scan, spose, psi_fn, offmap_value, combine_fn,
+def _corr_psi_fn(model: str, params: PlanarScanParams, range_max):
+    """Per-cell beam likelihood psi(distance) for each LF-family model —
+    the texture the stencil-correlation kernel sums over beams."""
+    denom = 2.0 * params.sigma_hit * params.sigma_hit
+    if model == "likelihood_field":
+        def psi(d):
+            pz = params.z_hit * jnp.exp(-(d * d) / denom) + params.z_rand / range_max
+            return pz * pz * pz
+    elif model == "likelihood_field_prob":
+        def psi(d):
+            pz = params.z_hit * jnp.exp(-(d * d) / denom) + params.z_rand / range_max
+            return jnp.log(pz)
+    elif model == "likelihood_field_gompertz":
+        def psi(d):
+            return params.z_hit * jnp.exp(-(d * d) / denom) + params.z_rand
+    else:  # pragma: no cover
+        raise ValueError(f"no corr psi for model {model!r}")
+    return psi
+
+
+CORR_MODELS = ("likelihood_field", "likelihood_field_prob",
+               "likelihood_field_gompertz")
+
+
+def bake_corr_texture(omap: OccupancyMap2D, params: PlanarScanParams,
+                      range_max: float, model: str) -> OccupancyMap2D:
+    """Pre-bake the padded psi texture for the stencil-correlation kernel —
+    one-shot per (map, sensor params), exactly like the reference's one-shot
+    distance-LUT bake (occupancy_map.cpp:138-160). Saves ~1 ms/step of
+    padding + transcendental work at 1024². The node layer re-bakes on map
+    receipt and reconfigure; callers changing params manually must re-bake
+    (a stale texture silently reflects the old params)."""
+    import dataclasses
+
+    from badger_amcl_tpu.ops import corr_kernel
+
+    if (model not in CORR_MODELS or omap.distances is None
+            or not corr_kernel.map_fits(omap)):
+        return dataclasses.replace(omap, corr_psi_pad=None, corr_psi_model=None)
+    psi = _corr_psi_fn(model, params, jnp.float32(range_max))
+    pad = corr_kernel.build_tex_pad(
+        omap, psi(omap.distances),
+        psi(jnp.float32(omap.max_distance_to_object)),
+    )
+    return dataclasses.replace(omap, corr_psi_pad=pad, corr_psi_model=model)
+
+
+def _corr_dispatch(omap, scan, spose, model, params, combine_fn,
                    fallback_fn, interpret):
     """Shared stencil-correlation dispatch for the LF-family models:
-    psi_fn maps the distance texture to per-cell beam likelihood, combine_fn
+    the psi texture maps distance to per-cell beam likelihood, combine_fn
     turns (sum_psi (M,), valid count) into p (M,); falls back to
     `fallback_fn()` when the cloud/yaw/range exceeds the lattice kernel's
-    envelope (ops/corr_kernel.py)."""
+    envelope (ops/corr_kernel.py). A texture pre-baked for this model
+    (bake_corr_texture) skips the per-step pad + psi build."""
     import jax
 
     from badger_amcl_tpu.ops import corr_kernel
@@ -142,10 +190,16 @@ def _corr_dispatch(omap, scan, spose, psi_fn, offmap_value, combine_fn,
     pre = corr_kernel.corr_prepass(omap, spose, scan.ranges, scan.angles, valid)
 
     def fast(_):
-        tex_psi = psi_fn(omap.distances)
-        offmap = psi_fn(jnp.float32(offmap_value))
+        if omap.corr_psi_pad is not None and omap.corr_psi_model == model:
+            tex_pad = omap.corr_psi_pad
+        else:
+            psi_fn = _corr_psi_fn(model, params, scan.range_max)
+            tex_pad = corr_kernel.build_tex_pad(
+                omap, psi_fn(omap.distances),
+                psi_fn(jnp.float32(omap.max_distance_to_object)),
+            )
         s = corr_kernel.corr_values(
-            omap, tex_psi, offmap, spose, scan.ranges, scan.angles, valid, pre,
+            omap, tex_pad, spose, scan.ranges, scan.angles, valid, pre,
             interpret=interpret,
         )
         return combine_fn(s, jnp.sum(valid))
@@ -156,41 +210,80 @@ def _corr_dispatch(omap, scan, spose, psi_fn, offmap_value, combine_fn,
     return jax.lax.cond(pre["fits"], fast, slow, operand=None)
 
 
-def _lf_model(omap, params, scan, spose, backend="xla"):
-    """calcLikelihoodFieldModel (planar_scanner.cpp:236-323):
-    pz = z_hit exp(-z^2/2s^2) + z_rand/range_max; p = 1 + sum pz^3 over
-    valid beams (max-range and NaN beams skipped)."""
-    denom0 = 2.0 * params.sigma_hit * params.sigma_hit
-    if backend in ("pallas_corr", "pallas_corr_interpret"):
-        def psi(d):
-            pz = params.z_hit * jnp.exp(-(d * d) / denom0) + params.z_rand / scan.range_max
-            return pz * pz * pz
+def _spread_dispatch(omap, scan, spose, reduce_fn, fallback_fn, interpret):
+    """Sorted-tile windowed path for spread clouds (global localization):
+    reduce_fn maps ((B, Mp) distances, (B,) beam validity) -> (Mp,) particle
+    likelihood in SORTED order (reductions over beams are order-invariant);
+    the result is un-permuted afterwards. Falls back when any (tile, beam)
+    window exceeds the envelope (ops/spread_kernel.py) or the texture
+    doesn't fit VMEM."""
+    import jax
 
-        interp = backend == "pallas_corr_interpret"
-        fb = "pallas_interpret" if interp else "pallas"
-        return _corr_dispatch(
-            omap, scan, spose, psi, omap.max_distance_to_object,
-            lambda s, cnt: 1.0 + s,
-            lambda: _lf_model(omap, params, scan, spose, fb),
-            interpret=interp,
+    from badger_amcl_tpu.ops import spread_kernel
+
+    valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
+    if omap.distances is None or not spread_kernel.tex_fits(omap):
+        return fallback_fn()
+    pre = spread_kernel.spread_prepass(
+        omap, spose, scan.ranges, scan.angles, valid
+    )
+
+    def fast(_):
+        zt = spread_kernel.spread_distances_sorted(
+            omap, spose, scan.ranges, scan.angles, valid, pre,
+            interpret=interpret,
         )
-    zt, valid = _beam_endpoints_dist(omap, scan, spose, backend)
+        return spread_kernel.unsort(reduce_fn(zt, valid), pre)
+
+    def slow(_):
+        return fallback_fn()
+
+    return jax.lax.cond(pre["fits"], fast, slow, operand=None)
+
+
+def _lf_combine(params, scan, zt, valid):
+    """LF mixture + p = 1 + sum pz^3 over valid beams, zt in (B, M)."""
     denom = 2.0 * params.sigma_hit * params.sigma_hit
     pz = params.z_hit * jnp.exp(-(zt * zt) / denom) + params.z_rand / scan.range_max
     pz3 = pz * pz * pz
     return 1.0 + jnp.sum(jnp.where(valid[:, None], pz3, 0.0), axis=0)
 
 
+def _lf_model(omap, params, scan, spose, backend="xla"):
+    """calcLikelihoodFieldModel (planar_scanner.cpp:236-323):
+    pz = z_hit exp(-z^2/2s^2) + z_rand/range_max; p = 1 + sum pz^3 over
+    valid beams (max-range and NaN beams skipped)."""
+    if backend in ("pallas_corr", "pallas_corr_interpret"):
+        interp = backend == "pallas_corr_interpret"
+        fb = "pallas_interpret" if interp else "pallas"
+        return _corr_dispatch(
+            omap, scan, spose, "likelihood_field", params,
+            lambda s, cnt: 1.0 + s,
+            lambda: _spread_dispatch(
+                omap, scan, spose,
+                lambda zt, valid: _lf_combine(params, scan, zt, valid),
+                lambda: _lf_model(omap, params, scan, spose, fb),
+                interpret=interp,
+            ),
+            interpret=interp,
+        )
+    zt, valid = _beam_endpoints_dist(omap, scan, spose, backend)
+    return _lf_combine(params, scan, zt, valid)
+
+
 def _lf_gompertz_model(omap, params, scan, spose, backend="xla"):
     """calcLikelihoodFieldModelGompertz (planar_scanner.cpp:552-640):
     per-particle *mean* pz (note z_rand added raw, no /range_max) through the
     Gompertz squash; no valid beams -> p = 1."""
+    def combine_zt(zt, valid):
+        denom = 2.0 * params.sigma_hit * params.sigma_hit
+        pz = params.z_hit * jnp.exp(-(zt * zt) / denom) + params.z_rand
+        count = jnp.sum(valid)
+        sum_pz = jnp.sum(jnp.where(valid[:, None], pz, 0.0), axis=0)
+        p = apply_gompertz(params, sum_pz / jnp.maximum(count, 1))
+        return jnp.where(count > 0, p, 1.0)
+
     if backend in ("pallas_corr", "pallas_corr_interpret"):
-        denom0 = 2.0 * params.sigma_hit * params.sigma_hit
-
-        def psi(d):
-            return params.z_hit * jnp.exp(-(d * d) / denom0) + params.z_rand
-
         def combine(s, cnt):
             p = apply_gompertz(params, s / jnp.maximum(cnt, 1))
             return jnp.where(cnt > 0, p, 1.0)
@@ -198,17 +291,16 @@ def _lf_gompertz_model(omap, params, scan, spose, backend="xla"):
         interp = backend == "pallas_corr_interpret"
         fb = "pallas_interpret" if interp else "pallas"
         return _corr_dispatch(
-            omap, scan, spose, psi, omap.max_distance_to_object, combine,
-            lambda: _lf_gompertz_model(omap, params, scan, spose, fb),
+            omap, scan, spose, "likelihood_field_gompertz", params, combine,
+            lambda: _spread_dispatch(
+                omap, scan, spose, combine_zt,
+                lambda: _lf_gompertz_model(omap, params, scan, spose, fb),
+                interpret=interp,
+            ),
             interpret=interp,
         )
     zt, valid = _beam_endpoints_dist(omap, scan, spose, backend)
-    denom = 2.0 * params.sigma_hit * params.sigma_hit
-    pz = params.z_hit * jnp.exp(-(zt * zt) / denom) + params.z_rand
-    count = jnp.sum(valid)
-    sum_pz = jnp.sum(jnp.where(valid[:, None], pz, 0.0), axis=0)
-    p = apply_gompertz(params, sum_pz / jnp.maximum(count, 1))
-    return jnp.where(count > 0, p, 1.0)
+    return combine_zt(zt, valid)
 
 
 def _lf_prob_model(omap, params, scan, spose, active, n_active, converged, do_beamskip,
@@ -225,19 +317,24 @@ def _lf_prob_model(omap, params, scan, spose, active, n_active, converged, do_be
     reference's cleared temp buffers, so the error fallback reproduces its
     zero-weight collapse."""
     if backend in ("pallas_corr", "pallas_corr_interpret") and not do_beamskip:
-        denom0 = 2.0 * params.sigma_hit * params.sigma_hit
-
-        def psi(d):
-            pz = params.z_hit * jnp.exp(-(d * d) / denom0) + params.z_rand / scan.range_max
-            return jnp.log(pz)
+        def combine_zt(zt, valid):
+            denom = 2.0 * params.sigma_hit * params.sigma_hit
+            pz = params.z_hit * jnp.exp(-(zt * zt) / denom) \
+                + params.z_rand / scan.range_max
+            log_p = jnp.sum(jnp.where(valid[:, None], jnp.log(pz), 0.0), axis=0)
+            return jnp.exp(log_p)
 
         interp = backend == "pallas_corr_interpret"
         fb = "pallas_interpret" if interp else "pallas"
         return _corr_dispatch(
-            omap, scan, spose, psi, omap.max_distance_to_object,
+            omap, scan, spose, "likelihood_field_prob", params,
             lambda s, cnt: jnp.exp(s),
-            lambda: _lf_prob_model(omap, params, scan, spose, active, n_active,
-                                   converged, do_beamskip, fb),
+            lambda: _spread_dispatch(
+                omap, scan, spose, combine_zt,
+                lambda: _lf_prob_model(omap, params, scan, spose, active,
+                                       n_active, converged, do_beamskip, fb),
+                interpret=interp,
+            ),
             interpret=interp,
         )
     if backend in ("pallas_corr", "pallas_corr_interpret"):

@@ -1,0 +1,132 @@
+"""Sorted-tile spread kernel (ops/spread_kernel.py) vs the XLA exact path.
+
+Interpreter mode on CPU. Numerical contract: distances quantized to
+max_distance/127 (~16 mm at the 2 m default), everything else exact; the
+full-model comparison is estimator-level like the corr kernel's.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from badger_amcl_tpu.maps import CellState, OccupancyMap2D
+from badger_amcl_tpu.ops import spread_kernel
+from badger_amcl_tpu.sensors.planar import PlanarScan, PlanarScanParams, planar_likelihood
+
+
+@pytest.fixture(scope="module")
+def huge_map():
+    rng = np.random.default_rng(11)
+    n = 512  # >= COLS so the spread kernel is eligible
+    cells = np.full((n, n), int(CellState.FREE), np.int8)
+    cells[0:2, :] = cells[-2:, :] = int(CellState.OCCUPIED)
+    cells[:, 0:2] = cells[:, -2:] = int(CellState.OCCUPIED)
+    for _ in range(24):
+        cx, cy = rng.integers(16, n - 24, 2)
+        cells[cy : cy + 6, cx : cx + 6] = int(CellState.OCCUPIED)
+    return OccupancyMap2D.from_cells(cells, 0.05).with_distance_field(2.0)
+
+
+def _scan(b=24, range_max=6.0):
+    angles = jnp.linspace(-2.2, 2.2, b).astype(jnp.float32)
+    ranges = jnp.clip(2.0 + jnp.sin(angles * 5.0), 0.3, 2.5)
+    return PlanarScan(ranges=ranges, angles=angles, range_max=jnp.float32(range_max))
+
+
+def _spread_poses(n=4000, seed=3):
+    """Spread cloud at global-localization density (the kernel's regime:
+    a TILE_M run must span <= 2 sort blocks, needing ~0.04 particles/cell
+    over the covered area)."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    return jnp.concatenate(
+        [jax.random.uniform(k1, (n, 2), minval=-4.0, maxval=4.0),
+         jax.random.uniform(k2, (n, 1), minval=-3.14, maxval=3.14)],
+        axis=1,
+    ).astype(jnp.float32)
+
+
+def _xla_distances(omap, poses, scan):
+    th = poses[None, :, 2] + scan.angles[:, None]
+    hx = poses[None, :, 0] + scan.ranges[:, None] * jnp.cos(th)
+    hy = poses[None, :, 1] + scan.ranges[:, None] * jnp.sin(th)
+    ij = omap.world_to_map(jnp.stack([hx, hy], axis=-1))
+    return omap.distance_at(ij)
+
+
+def test_spread_distances_match_xla(huge_map):
+    poses = _spread_poses()
+    scan = _scan()
+    valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
+    pre = spread_kernel.spread_prepass(
+        huge_map, poses, scan.ranges, scan.angles, valid
+    )
+    assert bool(pre["fits"]), "spread cloud with short beams must fit"
+    zt_s = spread_kernel.spread_distances_sorted(
+        huge_map, poses, scan.ranges, scan.angles, valid, pre, interpret=True
+    )
+    # un-permute each beam row and compare to the exact gather
+    z_xla = np.asarray(_xla_distances(huge_map, poses, scan))
+    perm = np.asarray(pre["perm"])
+    m = poses.shape[0]
+    z_k = np.empty_like(z_xla)
+    z_k[:, perm] = np.asarray(zt_s)[:, :m]
+    diff = np.abs(z_k - z_xla)
+    assert diff.max() < 0.012, diff.max()  # int8 ratio quantization only
+
+
+def test_spread_full_model_estimator_agreement(huge_map):
+    poses = _spread_poses(3000, seed=9)
+    scan = _scan()
+    n = poses.shape[0]
+    params = PlanarScanParams()
+    p_x, _ = planar_likelihood(
+        huge_map, params, scan, poses, jnp.ones((n,), bool), jnp.int32(n),
+        "likelihood_field",
+    )
+    # pallas_corr routes: corr (fails: spread) -> spread kernel
+    p_s, _ = planar_likelihood(
+        huge_map, params, scan, poses, jnp.ones((n,), bool), jnp.int32(n),
+        "likelihood_field", backend="pallas_corr_interpret",
+    )
+    px, ps = np.asarray(p_x, np.float64), np.asarray(p_s, np.float64)
+    rel = np.abs(ps - px) / np.maximum(px, 1e-12)
+    assert rel.max() < 0.1, rel.max()
+    wx, ws = px / px.sum(), ps / ps.sum()
+    mean_x = (wx[:, None] * np.asarray(poses)).sum(0)
+    mean_s = (ws[:, None] * np.asarray(poses)).sum(0)
+    np.testing.assert_allclose(mean_s[:2], mean_x[:2], atol=2e-2)
+
+
+def test_long_beams_fall_back(huge_map):
+    poses = _spread_poses(3000, seed=5)
+    angles = jnp.linspace(-2.0, 2.0, 32).astype(jnp.float32)
+    ranges = jnp.full((32,), 5.0, jnp.float32)  # 100 cells >> envelope
+    scan = PlanarScan(ranges=ranges, angles=angles, range_max=jnp.float32(8.0))
+    valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
+    pre = spread_kernel.spread_prepass(
+        huge_map, poses, scan.ranges, scan.angles, valid
+    )
+    assert not bool(pre["fits"])
+    # and the full dispatch still produces the exact XLA result
+    n = poses.shape[0]
+    params = PlanarScanParams()
+    p_x, _ = planar_likelihood(
+        huge_map, params, scan, poses, jnp.ones((n,), bool), jnp.int32(n),
+        "likelihood_field",
+    )
+    p_f, _ = planar_likelihood(
+        huge_map, params, scan, poses, jnp.ones((n,), bool), jnp.int32(n),
+        "likelihood_field", backend="pallas_corr_interpret",
+    )
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_x), rtol=2e-3)
+
+
+def test_unsort_roundtrip():
+    vals = jnp.arange(10.0)
+    perm = jnp.array([3, 1, 4, 0, 2, 9, 5, 8, 7, 6], jnp.int32)
+    pre = {"perm": perm}
+    # sorted values are vals[perm]; unsort must restore original order
+    restored = spread_kernel.unsort(vals[perm], pre)
+    np.testing.assert_array_equal(np.asarray(restored), np.asarray(vals))
