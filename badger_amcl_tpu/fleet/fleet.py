@@ -80,7 +80,6 @@ def fleet_step(
           absolute_motions, alphas)
 
     from badger_amcl_tpu.pf import filter as pf_filter
-    from badger_amcl_tpu.sensors.planar import planar_likelihood
 
     states = jax.vmap(
         lambda st, op, od, am: odom_models.motion_update(
@@ -89,18 +88,99 @@ def fleet_step(
         in_axes=(0, 0, 0, 0),
     )(states, odom_poses, odom_deltas, absolute_motions)
 
-    def one_robot(args):
-        st, scan = args
-        return planar_likelihood(
-            omap, scan_params, scan, st.poses, st.active_mask, st.n_active,
-            laser_model, converged=st.converged, backend=backend,
-        )
-
-    p, mf = jax.lax.map(one_robot, (states, scans))
+    p, mf = _fleet_likelihood(
+        omap, scan_params, scans, states, laser_model, backend
+    )
     states = jax.vmap(pf_filter.sensor_update)(states, p, mf)
     return jax.vmap(
         lambda st, pool: pf_filter.resample(st, params, pool, resample_model)
     )(states, pools)
+
+
+def _fleet_likelihood(omap, scan_params, scans, states, laser_model, backend):
+    """Fleet measurement stage for the Pallas backends.
+
+    Fast path: ALL robots' likelihoods in ONE batched-robot corr kernel
+    (grid over robots; prepass vmapped; per-particle table reads and the
+    recalcWeight factors batched across the whole fleet) — replacing the
+    sequential `lax.map` of per-robot kernel calls that dominated round 1's
+    fleet step. Falls back to the lax.map path (with its own per-robot
+    fallbacks) when any robot exceeds the lattice envelope, the map lacks a
+    baked psi texture for this model, or the model is not LF-family."""
+    from badger_amcl_tpu.sensors.planar import (
+        CORR_MODELS, coord_add, corr_combine, map_factors, planar_likelihood,
+    )
+
+    def slow():
+        def one_robot(args):
+            st, scan = args
+            return planar_likelihood(
+                omap, scan_params, scan, st.poses, st.active_mask, st.n_active,
+                laser_model, converged=st.converged, backend=backend,
+            )
+
+        return jax.lax.map(one_robot, (states, scans))
+
+    from badger_amcl_tpu.ops import corr_kernel
+
+    if (
+        backend not in ("pallas_corr", "pallas_corr_interpret")
+        or laser_model not in CORR_MODELS
+        or omap.corr_psi_pad is None
+        or omap.corr_psi_model != laser_model
+        or not corr_kernel.map_fits(omap)
+    ):
+        return slow()
+    interpret = backend == "pallas_corr_interpret"
+
+    spose = coord_add(scan_params.scanner_pose, states.poses)  # (R, N, 3)
+    valid = (scans.ranges < scans.range_max[:, None]) & ~jnp.isnan(scans.ranges)
+    pre = jax.vmap(
+        lambda sp, r, a, v: corr_kernel.corr_prepass(omap, sp, r, a, v)
+    )(spose, scans.ranges, scans.angles, valid)
+    fits_all = jnp.all(pre["fits"])
+    narrow_all = jnp.all(pre["narrow"])
+    n_beams = int(scans.ranges.shape[1])
+
+    # recalcWeight factors for the whole fleet in one batched gather
+    r_, n_ = states.poses.shape[:2]
+    mf = map_factors(
+        omap, scan_params, states.poses.reshape(r_ * n_, 3)
+    ).reshape(r_, n_)
+
+    def run(rows, j0_key):
+        j0 = pre[j0_key]
+        metas = jnp.stack(
+            [pre["t_n"], j0 + corr_kernel.PAD_R, pre["i0"] + corr_kernel.PAD_C,
+             jnp.maximum(pre["nv"], 1)], axis=1,
+        ).astype(jnp.int32)
+        tables = corr_kernel.fleet_corr_call(
+            omap.corr_psi_pad, metas, pre["off"], n_beams=n_beams, rows=rows,
+            interpret=interpret,
+        )  # (R, T_MAX, rows, PWIN_C)
+        flats = jax.vmap(
+            lambda cj, ci, ts, i0_r, j0_r: (
+                (ts * rows + jnp.clip(cj - j0_r, 0, rows - 1))
+                * corr_kernel.PWIN_C
+                + jnp.clip(ci - i0_r, 0, corr_kernel.PWIN_C - 1)
+            )
+        )(pre["cj"], pre["ci"], pre["t_slot"], pre["i0"], j0)
+        s = jnp.take_along_axis(
+            tables.reshape(r_, -1), flats, axis=1
+        )  # (R, N)
+        nv = jnp.sum(valid, axis=1)  # (R,)
+        return corr_combine(laser_model, scan_params, s, nv[:, None])
+
+    def fast(_):
+        return jax.lax.cond(
+            narrow_all,
+            lambda __: run(corr_kernel.PWIN_R_NARROW, "j0_narrow"),
+            lambda __: run(corr_kernel.PWIN_R, "j0"),
+            operand=None,
+        )
+
+    p = jax.lax.cond(fits_all, fast, lambda _: slow()[0], operand=None)
+    return p, mf
 
 
 def make_fleet_step(params: PFParams, odom_model=odom_models.OdomModel.DIFF,

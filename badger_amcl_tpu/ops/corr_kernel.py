@@ -131,6 +131,93 @@ def _corr_call(tex_pad, meta, off, n_beams, rows, interpret=False):
     )(meta, off, tex_pad)
 
 
+def _kernel_fleet(
+    # blocked SMEM inputs (per-robot metadata; Mosaic wants sublane dims
+    # divisible by 8, so robots ride in 8-blocks)
+    meta_ref,  # (8, 8) int32 — rows: robots; cols: (t_n, row0, col0, nv, ...)
+    off_ref,  # (8, T_MAX * B) int32 packed offsets
+    tex_ref,  # (Hp, Wp) f32 padded psi texture (shared by the fleet)
+    corr_ref,  # out (1, T_MAX, rows, PWIN_C) f32 — this robot's table
+    *,
+    n_beams: int,
+    rows: int,
+):
+    load_r = rows + 8
+    load_c = PWIN_C + 128
+    corr_ref[...] = jnp.zeros_like(corr_ref)
+    r8 = pl.program_id(0) % 8
+    row0 = meta_ref[r8, 1]
+    col0 = meta_ref[r8, 2]
+    nv = meta_ref[r8, 3]
+
+    def tap(k, _):
+        t = k // nv
+        b = k - t * nv
+        packed = off_ref[r8, t * n_beams + b]
+        oj = jax.lax.shift_right_arithmetic(packed, 16)
+        oi = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(packed, 16), 16
+        )
+        sr = row0 + oj
+        sc = col0 + oi
+        ar = (sr // 8) * 8
+        ac = (sc // 128) * 128
+        dr = sr - ar
+        dc = sc - ac
+        block = tex_ref[pl.ds(pl.multiple_of(ar, 8), load_r),
+                        pl.ds(pl.multiple_of(ac, 128), load_c)]
+        # non-negative roll complements (see _kernel)
+        block = pltpu.roll(block, (load_r - dr) % load_r, axis=0)
+        block = pltpu.roll(block, (load_c - dc) % load_c, axis=1)
+        corr_ref[0, pl.ds(t, 1)] = (
+            corr_ref[0, pl.ds(t, 1)] + block[0:rows, 0:PWIN_C][None, :, :]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, meta_ref[r8, 0] * nv, tap, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_beams", "rows", "interpret")
+)
+def fleet_corr_call(tex_pad, metas, offs, n_beams, rows, interpret=False):
+    """Per-robot correlation tables in ONE pallas call, grid over robots.
+
+    metas: (R, 4) int32 (t_n, row0+PAD_R, col0+PAD_C, nv); offs:
+    (R, T_MAX*B) packed offsets (both from a vmapped corr_prepass).
+    Returns (R, T_MAX, rows, PWIN_C) f32."""
+    r = metas.shape[0]
+    r_pad = -(-r // 8) * 8
+    metas8 = jnp.zeros((r_pad, 8), jnp.int32)
+    metas8 = metas8.at[:r, :4].set(metas)
+    # nv must stay >= 1 even for pad robots (loop bound t_n * nv with t_n=0)
+    metas8 = metas8.at[:, 3].max(1)
+    offs8 = jnp.zeros((r_pad, offs.shape[1]), jnp.int32).at[:r].set(offs)
+    kern = functools.partial(_kernel_fleet, n_beams=n_beams, rows=rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(r_pad,),
+        in_specs=[
+            pl.BlockSpec((8, 8), lambda g: (g // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, offs.shape[1]), lambda g: (g // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, T_MAX, rows, PWIN_C), lambda g: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r_pad, T_MAX, rows, PWIN_C), jnp.float32),
+        interpret=interpret,
+    )(metas8, offs8, tex_pad)
+    return out[:r]
+
+
 def map_fits(omap) -> bool:
     """Static check: padded texture within the VMEM budget and window-sized."""
     hp = omap.size_y + 2 * PAD_R
@@ -221,6 +308,14 @@ def build_tex_pad(omap, tex_psi, offmap_psi):
     )
 
 
+def particle_flat(pre, rows, j0):
+    """Flat index of each particle's lattice cell in a (T_MAX, rows,
+    PWIN_C) correlation table."""
+    dj = jnp.clip(pre["cj"] - j0, 0, rows - 1)
+    di = jnp.clip(pre["ci"] - pre["i0"], 0, PWIN_C - 1)
+    return (pre["t_slot"] * rows + dj) * PWIN_C + di
+
+
 def corr_values(omap, tex_pad, spose, ranges, angles, valid, pre,
                 interpret=False):
     """Build the correlation table and gather each particle's value.
@@ -237,10 +332,7 @@ def corr_values(omap, tex_pad, spose, ranges, angles, valid, pre,
             tex_pad, meta, pre["off"], n_beams=n_beams, rows=rows,
             interpret=interpret,
         )
-        dj = jnp.clip(pre["cj"] - j0, 0, rows - 1)
-        di = jnp.clip(pre["ci"] - pre["i0"], 0, PWIN_C - 1)
-        flat = (pre["t_slot"] * rows + dj) * PWIN_C + di
-        return jnp.take(corr.reshape(-1), flat)
+        return jnp.take(corr.reshape(-1), particle_flat(pre, rows, j0))
 
     return jax.lax.cond(
         pre["narrow"],

@@ -149,6 +149,20 @@ CORR_MODELS = ("likelihood_field", "likelihood_field_prob",
                "likelihood_field_gompertz")
 
 
+def corr_combine(model: str, params: PlanarScanParams, s, n_valid):
+    """Map the corr kernel's per-particle psi sum to the model's p
+    (the lambda each model hands _corr_dispatch, shared with the fleet
+    batched path)."""
+    if model == "likelihood_field":
+        return 1.0 + s
+    if model == "likelihood_field_prob":
+        return jnp.exp(s)
+    if model == "likelihood_field_gompertz":
+        p = apply_gompertz(params, s / jnp.maximum(n_valid, 1))
+        return jnp.where(n_valid > 0, p, 1.0)
+    raise ValueError(f"no corr combine for model {model!r}")  # pragma: no cover
+
+
 def bake_corr_texture(omap: OccupancyMap2D, params: PlanarScanParams,
                       range_max: float, model: str) -> OccupancyMap2D:
     """Pre-bake the padded psi texture for the stencil-correlation kernel —

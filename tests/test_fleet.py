@@ -58,6 +58,71 @@ def test_fleet_vmapped_step(box_map, fleet_inputs):
 
 
 @pytest.mark.slow
+def test_fleet_batched_corr_matches_xla():
+    """The single-call batched-robot corr kernel must agree with the exact
+    per-robot XLA likelihood at the corr backend's usual lattice tolerance,
+    for robots scattered across the map with differing scans."""
+    from badger_amcl_tpu.fleet.fleet import _fleet_likelihood
+    from badger_amcl_tpu.maps import CellState, OccupancyMap2D
+    from badger_amcl_tpu.sensors.planar import bake_corr_texture, planar_likelihood
+
+    rng = np.random.default_rng(7)
+    n = 320
+    cells = np.full((n, n), int(CellState.FREE), np.int8)
+    cells[0:2, :] = cells[-2:, :] = int(CellState.OCCUPIED)
+    cells[:, 0:2] = cells[:, -2:] = int(CellState.OCCUPIED)
+    for _ in range(12):
+        cx, cy = rng.integers(20, n - 28, 2)
+        cells[cy : cy + 6, cx : cx + 6] = int(CellState.OCCUPIED)
+    omap = OccupancyMap2D.from_cells(cells, 0.05).with_distance_field(2.0)
+    sp = PlanarScanParams()
+    omap = bake_corr_texture(omap, sp, 6.0, "likelihood_field")
+
+    r, m, b = 4, 256, 48
+    key = jax.random.PRNGKey(1)
+    means = jnp.array([[0.0, 0.0, 0.1], [2.5, -1.5, 1.2],
+                       [-3.0, 2.0, -0.7], [1.0, 4.0, 2.9]])
+    covs = jnp.tile(jnp.diag(jnp.array([0.02, 0.02, 0.002])), (r, 1, 1))
+    states = fleet_init(PFParams(min_samples=16, max_samples=m), key, means, covs)
+    angles = jnp.linspace(-2.0, 2.0, b)
+    ranges = jnp.stack([
+        jnp.clip(1.2 + 0.5 * jnp.sin(angles * (2.0 + i)), 0.3, 2.5)
+        for i in range(r)
+    ])
+    scans = PlanarScan(
+        ranges=ranges.astype(jnp.float32),
+        angles=jnp.tile(angles, (r, 1)).astype(jnp.float32),
+        range_max=jnp.full((r,), 6.0, jnp.float32),
+    )
+
+    p_fast, mf_fast = _fleet_likelihood(
+        omap, sp, scans, states, "likelihood_field", "pallas_corr_interpret"
+    )
+    # exact XLA reference, robot by robot
+    p_ref = jnp.stack([
+        planar_likelihood(
+            omap, sp,
+            PlanarScan(ranges=scans.ranges[i], angles=scans.angles[i],
+                       range_max=scans.range_max[i]),
+            states.poses[i], states.active_mask[i], states.n_active[i],
+            "likelihood_field",
+        )[0]
+        for i in range(r)
+    ])
+    px, pf = np.asarray(p_ref, np.float64), np.asarray(p_fast, np.float64)
+    rel = np.abs(pf - px) / np.maximum(px, 1e-12)
+    assert rel.max() < 0.35, rel.max()
+    assert rel.mean() < 0.08, rel.mean()
+    # estimator-level agreement per robot
+    for i in range(r):
+        wx = px[i] / px[i].sum()
+        wf = pf[i] / pf[i].sum()
+        mx = (wx[:, None] * np.asarray(states.poses[i])).sum(0)
+        mf_ = (wf[:, None] * np.asarray(states.poses[i])).sum(0)
+        np.testing.assert_allclose(mf_[:2], mx[:2], atol=8e-3)
+
+
+@pytest.mark.slow
 def test_fleet_sharded_step_matches_local(box_map, fleet_inputs):
     states, scans, pools, odom_poses, odom_deltas, alphas = fleet_inputs
     devices = jax.devices()
