@@ -67,6 +67,19 @@ def run():
             omap = dataclasses.replace(
                 omap, corr_psi_pad=None, corr_psi_model=None)
             omap = bake_corr_texture(omap, scan_params, 8.0, model)
+            # the scan must be CONSISTENT with the map or no particle
+            # matches and the prob model's log-product underflows the whole
+            # set to the zero-total uniform reset: raycast it from the true
+            # pose (what a real sensor would return)
+            from badger_amcl_tpu.sensors import raycast
+            import jax.numpy as jnp
+
+            mean_a = jnp.asarray(mean, jnp.float32)
+            rc = raycast.calc_range(
+                omap, mean_a[0:1], mean_a[1:2],
+                (mean_a[2] + scan.angles)[None, :], scan.range_max,
+            )[0]
+            scan = scan.replace(ranges=jnp.clip(rc, 0.2, 7.9).astype(jnp.float32))
 
             post = {}
             for backend in ("xla", "pallas_corr"):
