@@ -140,6 +140,7 @@ def _fleet_likelihood(omap, scan_params, scans, states, laser_model, backend):
     )(spose, scans.ranges, scans.angles, valid)
     fits_all = jnp.all(pre["fits"])
     narrow_all = jnp.all(pre["narrow"])
+    tight_all = jnp.all(pre["tight"])
     n_beams = int(scans.ranges.shape[1])
 
     # recalcWeight factors for the whole fleet in one batched gather
@@ -173,9 +174,14 @@ def _fleet_likelihood(omap, scan_params, scans, states, laser_model, backend):
 
     def fast(_):
         return jax.lax.cond(
-            narrow_all,
-            lambda __: run(corr_kernel.PWIN_R_NARROW, "j0_narrow"),
-            lambda __: run(corr_kernel.PWIN_R, "j0"),
+            tight_all,
+            lambda __: run(corr_kernel.PWIN_R_TIGHT, "j0_tight"),
+            lambda __: jax.lax.cond(
+                narrow_all,
+                lambda ___: run(corr_kernel.PWIN_R_NARROW, "j0_narrow"),
+                lambda ___: run(corr_kernel.PWIN_R, "j0"),
+                operand=None,
+            ),
             operand=None,
         )
 

@@ -51,6 +51,7 @@ PAD_R = 192  # row padding: >= max |row offset| + 8 alignment margin
 PAD_C = 320  # col padding: >= max |col offset| + 128 alignment margin
 PWIN_R = 64  # particle-cell window rows (j), standard variant
 PWIN_R_NARROW = 32  # narrow variant for converged clouds
+PWIN_R_TIGHT = 24  # tight variant (steady tracking spans ~15-20 cells)
 PWIN_C = 128  # particle-cell window cols (i)
 T_MAX = 64  # max active yaw bins per update
 # yaw-bin width is ADAPTIVE: delta = 1/max_range_cells keeps the stencil
@@ -244,9 +245,13 @@ def corr_prepass(omap, spose, ranges, angles, valid):
     narrow_ok = span_ok & (row_span < PWIN_R_NARROW) & (
         omap.size_y >= PWIN_R_NARROW
     )
+    tight_ok = span_ok & (row_span < PWIN_R_TIGHT) & (
+        omap.size_y >= PWIN_R_TIGHT
+    )
     i0 = jnp.clip(i0, 0, max(omap.size_x - PWIN_C, 0))
     j0 = jnp.clip(j0, 0, max(omap.size_y - PWIN_R, 0))
     j0_n = jnp.clip(j0, 0, max(omap.size_y - PWIN_R_NARROW, 0))
+    j0_t = jnp.clip(j0, 0, max(omap.size_y - PWIN_R_TIGHT, 0))
 
     # max stencil offset magnitude is bounded by the longest valid range
     max_cells = jnp.max(jnp.where(valid, ranges, 0.0)) / res
@@ -259,19 +264,36 @@ def corr_prepass(omap, spose, ranges, angles, valid):
     yaw_ok = t_count <= T_MAX
 
     # yaw-bin occupancy -> compacted list of occupied bins (empty Gaussian
-    # tails and multimodal gaps are never iterated in-kernel)
+    # tails and multimodal gaps are never iterated in-kernel). Stable
+    # occupied-first permutations come from cumsum + tiny scatters, not
+    # argsort — vmapped argsorts (the fleet path) lower poorly on TPU.
     t_rel = jnp.clip(t_m - t_min, 0, T_MAX - 1)
-    t_occ = jnp.zeros((T_MAX,), jnp.int32).at[t_rel].set(1, mode="drop")
-    t_order = jnp.argsort(1 - t_occ, stable=True).astype(jnp.int32)
+    # bin occupancy + per-particle compacted slot as fused one-hot
+    # reductions over the tiny bin axis — an M-sized scatter + an M-sized
+    # table gather here cost ~50 ms across a 256-robot fleet
+    oh_bins = t_rel[:, None] == jnp.arange(T_MAX, dtype=jnp.int32)[None, :]
+    t_occ = jnp.any(oh_bins, axis=0).astype(jnp.int32)
     t_n = jnp.sum(t_occ)
-    # map each particle's bin to its compacted slot
-    t_slot_of_bin = jnp.zeros((T_MAX,), jnp.int32).at[t_order].set(
+    t_dest = jnp.where(
+        t_occ == 1,
+        jnp.cumsum(t_occ) - 1,
+        t_n + jnp.cumsum(1 - t_occ) - 1,
+    ).astype(jnp.int32)
+    t_order = jnp.zeros((T_MAX,), jnp.int32).at[t_dest].set(
         jnp.arange(T_MAX, dtype=jnp.int32)
     )
+    t_slot = jnp.sum(jnp.where(oh_bins, t_dest[None, :], 0), axis=1)
 
     # beam compaction: valid beams first (beam order is irrelevant to the sum)
-    b_order = jnp.argsort(~valid, stable=True).astype(jnp.int32)
     nv = jnp.sum(valid).astype(jnp.int32)
+    nb = valid.shape[0]
+    vi = valid.astype(jnp.int32)
+    b_dest = jnp.where(
+        valid, jnp.cumsum(vi) - 1, nv + jnp.cumsum(1 - vi) - 1
+    ).astype(jnp.int32)
+    b_order = jnp.zeros((nb,), jnp.int32).at[b_dest].set(
+        jnp.arange(nb, dtype=jnp.int32)
+    )
     ranges_c = ranges.astype(jnp.float32)[b_order]
     angles_c = angles.astype(jnp.float32)[b_order]
 
@@ -288,10 +310,12 @@ def corr_prepass(omap, spose, ranges, angles, valid):
 
     return {
         "ci": ci, "cj": cj, "i0": i0, "j0": j0, "j0_narrow": j0_n,
-        "t_slot": t_slot_of_bin[t_rel], "t_n": t_n, "nv": nv,
+        "j0_tight": j0_t,
+        "t_slot": t_slot, "t_n": t_n, "nv": nv,
         "off": off.reshape(-1),
         "fits": span_ok & yaw_ok & range_ok,
         "narrow": narrow_ok & yaw_ok & range_ok,
+        "tight": tight_ok & yaw_ok & range_ok,
     }
 
 
@@ -335,8 +359,13 @@ def corr_values(omap, tex_pad, spose, ranges, angles, valid, pre,
         return jnp.take(corr.reshape(-1), particle_flat(pre, rows, j0))
 
     return jax.lax.cond(
-        pre["narrow"],
-        lambda _: run(PWIN_R_NARROW, pre["j0_narrow"]),
-        lambda _: run(PWIN_R, pre["j0"]),
+        pre["tight"],
+        lambda _: run(PWIN_R_TIGHT, pre["j0_tight"]),
+        lambda _: jax.lax.cond(
+            pre["narrow"],
+            lambda __: run(PWIN_R_NARROW, pre["j0_narrow"]),
+            lambda __: run(PWIN_R, pre["j0"]),
+            operand=None,
+        ),
         operand=None,
     )

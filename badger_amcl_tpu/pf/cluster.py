@@ -114,7 +114,8 @@ def compute_cluster_stats(poses, weights, active, params) -> ClusterStats:
         [w, jnp.where(active, 1.0, 0.0), w * x, w * y, w * c, w * s,
          w * x * x, w * x * y, w * y * y]
     ).astype(jnp.float32)
-    k_fast = min(MAX_FAST_CLUSTERS, m)
+    cap = params.stats_max_clusters
+    k_fast = min(cap if cap else MAX_FAST_CLUSTERS, m)
 
     def seg_fast(_):
         from badger_amcl_tpu.ops import mxu_gather
@@ -127,7 +128,14 @@ def compute_cluster_stats(poses, weights, active, params) -> ClusterStats:
             [jax.ops.segment_sum(v, pc, num_segments=m) for v in vals]
         )
 
-    sums = jax.lax.cond(cluster_count <= k_fast, seg_fast, seg_slow, operand=None)
+    if cap:
+        # fleet configuration: MXU-only, clusters past the cap drop out of
+        # the statistics (see PFParams.stats_max_clusters)
+        sums = seg_fast(None)
+    else:
+        sums = jax.lax.cond(
+            cluster_count <= k_fast, seg_fast, seg_slow, operand=None
+        )
     cw, cnt_f, mx, my, mc, ms, cxx, cxy, cyy = sums
     cnt = jnp.round(cnt_f).astype(jnp.int32)
 

@@ -35,6 +35,15 @@ class PFParams(struct.PyTreeNode):
     hist_x: int = struct.field(pytree_node=False, default=128)
     hist_y: int = struct.field(pytree_node=False, default=128)
     hist_a: int = struct.field(pytree_node=False, default=40)
+    # Cluster-statistics accumulation strategy. 0 (default, single-robot):
+    # one-hot MXU path when <= 128 live clusters, exact segment_sum
+    # fallback beyond. > 0: MXU path ONLY, capped at this many clusters —
+    # clusters past the cap keep their particles and weights but drop out
+    # of the per-cluster statistics. Use for fleet configs: under vmap a
+    # lax.cond lowers to select and BOTH branches execute, so the scalar
+    # fallback would cost ~180 ms across 256 robots while never being
+    # taken (tracking robots have 1-5 clusters).
+    stats_max_clusters: int = struct.field(pytree_node=False, default=0)
 
     @property
     def hist_shape(self):

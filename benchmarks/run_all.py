@@ -148,7 +148,8 @@ def bench_fleet(backend):
     # smaller per-robot KLD grid: tracking robots spread far less than the
     # single-robot default allows, and the grid is the fleet's memory-
     # bandwidth bottleneck under vmap
-    params = PFParams(min_samples=n // 100, max_samples=n, hist_x=32, hist_y=32)
+    params = PFParams(min_samples=n // 100, max_samples=n, hist_x=32, hist_y=32,
+                      stats_max_clusters=128)
     key = jax.random.PRNGKey(0)
     means = 0.1 * jax.random.normal(key, (r, 3))
     covs = jnp.tile(jnp.diag(jnp.array([0.02, 0.02, 0.002])), (r, 1, 1))
