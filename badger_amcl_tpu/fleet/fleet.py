@@ -151,12 +151,22 @@ def _fleet_likelihood(omap, scan_params, scans, states, laser_model, backend):
 
     def run(rows, j0_key):
         j0 = pre[j0_key]
+        tex_pad = omap.corr_psi_pad
+        sj, si = jax.vmap(
+            lambda j, i: corr_kernel.slice_origin(tex_pad, j, i)
+        )(j0, pre["i0"])
+        tex_slices = jax.vmap(
+            lambda a, b: jax.lax.dynamic_slice(
+                tex_pad, (a, b),
+                (corr_kernel.SLICE_R, corr_kernel.SLICE_C))
+        )(sj, si)
         metas = jnp.stack(
-            [pre["t_n"], j0 + corr_kernel.PAD_R, pre["i0"] + corr_kernel.PAD_C,
+            [pre["t_n"], j0 + corr_kernel.PAD_R - sj,
+             pre["i0"] + corr_kernel.PAD_C - si,
              jnp.maximum(pre["nv"], 1)], axis=1,
         ).astype(jnp.int32)
         tables = corr_kernel.fleet_corr_call(
-            omap.corr_psi_pad, metas, pre["off"], n_beams=n_beams, rows=rows,
+            tex_slices, metas, pre["off"], n_beams=n_beams, rows=rows,
             interpret=interpret,
         )  # (R, T_MAX, rows, PWIN_C)
         flats = jax.vmap(

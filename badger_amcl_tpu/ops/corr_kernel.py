@@ -61,9 +61,15 @@ T_MAX = 64  # max active yaw bins per update
 # envelope), 1/MIN_RANGE_CELLS].
 MIN_RANGE_CELLS = 16.0
 MAX_RANGE_CELLS = 183.0  # = PAD_R - 9, the offset magnitude the padding allows
-# VMEM budget for the padded f32 texture (tpu.DynamicRotateOp is 32-bit
-# only, so the in-kernel texture must be f32); bigger maps fall back (static)
-MAX_PADDED_CELLS = 3 * 1024 * 1024
+# The kernel never sees the whole padded texture: a static (SLICE_R,
+# SLICE_C) active region around the particle window is dynamic-sliced from
+# the HBM-resident padded texture per call (2 MB f32), so MAP SIZE DOES NOT
+# LIMIT the corr kernel — a 4096^2 warehouse map costs the same VMEM as the
+# bench's 1024^2. Sizes cover the window + both pads + alignment slop:
+# rows: PWIN_R + 2*PAD_R + 8-align slop + clamp slop -> 512
+# cols: PWIN_C + 2*PAD_C + 127-align slop + clamp slop -> 1024
+SLICE_R = 512
+SLICE_C = 1024
 
 
 def _kernel(
@@ -137,7 +143,7 @@ def _kernel_fleet(
     # divisible by 8, so robots ride in 8-blocks)
     meta_ref,  # (8, 8) int32 — rows: robots; cols: (t_n, row0, col0, nv, ...)
     off_ref,  # (8, T_MAX * B) int32 packed offsets
-    tex_ref,  # (Hp, Wp) f32 padded psi texture (shared by the fleet)
+    tex_ref,  # (1, SLICE_R, SLICE_C) f32 — this robot's active-region slice
     corr_ref,  # out (1, T_MAX, rows, PWIN_C) f32 — this robot's table
     *,
     n_beams: int,
@@ -165,7 +171,7 @@ def _kernel_fleet(
         ac = (sc // 128) * 128
         dr = sr - ar
         dc = sc - ac
-        block = tex_ref[pl.ds(pl.multiple_of(ar, 8), load_r),
+        block = tex_ref[0, pl.ds(pl.multiple_of(ar, 8), load_r),
                         pl.ds(pl.multiple_of(ac, 128), load_c)]
         # non-negative roll complements (see _kernel)
         block = pltpu.roll(block, (load_r - dr) % load_r, axis=0)
@@ -181,11 +187,12 @@ def _kernel_fleet(
 @functools.partial(
     jax.jit, static_argnames=("n_beams", "rows", "interpret")
 )
-def fleet_corr_call(tex_pad, metas, offs, n_beams, rows, interpret=False):
+def fleet_corr_call(tex_slices, metas, offs, n_beams, rows, interpret=False):
     """Per-robot correlation tables in ONE pallas call, grid over robots.
 
-    metas: (R, 4) int32 (t_n, row0+PAD_R, col0+PAD_C, nv); offs:
-    (R, T_MAX*B) packed offsets (both from a vmapped corr_prepass).
+    tex_slices: (R, SLICE_R, SLICE_C) f32 per-robot active-region slices;
+    metas: (R, 4) int32 (t_n, slice-local row0, slice-local col0, nv);
+    offs: (R, T_MAX*B) packed offsets (all from a vmapped corr_prepass).
     Returns (R, T_MAX, rows, PWIN_C) f32."""
     r = metas.shape[0]
     r_pad = -(-r // 8) * 8
@@ -194,6 +201,8 @@ def fleet_corr_call(tex_pad, metas, offs, n_beams, rows, interpret=False):
     # nv must stay >= 1 even for pad robots (loop bound t_n * nv with t_n=0)
     metas8 = metas8.at[:, 3].max(1)
     offs8 = jnp.zeros((r_pad, offs.shape[1]), jnp.int32).at[:r].set(offs)
+    if r_pad != r:
+        tex_slices = jnp.pad(tex_slices, ((0, r_pad - r), (0, 0), (0, 0)))
     kern = functools.partial(_kernel_fleet, n_beams=n_beams, rows=rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -203,7 +212,8 @@ def fleet_corr_call(tex_pad, metas, offs, n_beams, rows, interpret=False):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, offs.shape[1]), lambda g: (g // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SLICE_R, SLICE_C), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, T_MAX, rows, PWIN_C), lambda g: (g, 0, 0, 0),
@@ -215,19 +225,29 @@ def fleet_corr_call(tex_pad, metas, offs, n_beams, rows, interpret=False):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r_pad, T_MAX, rows, PWIN_C), jnp.float32),
         interpret=interpret,
-    )(metas8, offs8, tex_pad)
+    )(metas8, offs8, tex_slices)
     return out[:r]
 
 
 def map_fits(omap) -> bool:
-    """Static check: padded texture within the VMEM budget and window-sized."""
-    hp = omap.size_y + 2 * PAD_R
-    wp = omap.size_x + 2 * PAD_C
+    """Static check: map large enough for the active-region slice. There is
+    NO upper size limit — the kernel reads a fixed slice of the padded
+    texture, which lives in HBM at any map size."""
     return (
-        hp * wp <= MAX_PADDED_CELLS
+        omap.size_y + 2 * PAD_R >= SLICE_R
+        and omap.size_x + 2 * PAD_C >= SLICE_C
         and omap.size_y >= PWIN_R
         and omap.size_x >= PWIN_C
     )
+
+
+def slice_origin(tex_pad, j0, i0):
+    """Aligned origin of the active-region slice in padded-texture coords,
+    clamped inside the texture. Returns (start_j, start_i)."""
+    hp, wp = tex_pad.shape
+    sj = jnp.clip(j0 & ~7, 0, hp - SLICE_R)
+    si = jnp.clip(i0 & ~127, 0, wp - SLICE_C)
+    return sj, si
 
 
 def corr_prepass(omap, spose, ranges, angles, valid):
@@ -349,11 +369,16 @@ def corr_values(omap, tex_pad, spose, ranges, angles, valid, pre,
     n_beams = int(ranges.shape[0])
 
     def run(rows, j0):
+        sj, si = slice_origin(tex_pad, j0, pre["i0"])
+        tex_s = jax.lax.dynamic_slice(
+            tex_pad, (sj, si), (SLICE_R, SLICE_C)
+        )
         meta = jnp.stack(
-            [pre["t_n"], j0 + PAD_R, pre["i0"] + PAD_C, jnp.maximum(pre["nv"], 1)]
+            [pre["t_n"], j0 + PAD_R - sj, pre["i0"] + PAD_C - si,
+             jnp.maximum(pre["nv"], 1)]
         ).astype(jnp.int32)
         corr = _corr_call(
-            tex_pad, meta, pre["off"], n_beams=n_beams, rows=rows,
+            tex_s, meta, pre["off"], n_beams=n_beams, rows=rows,
             interpret=interpret,
         )
         return jnp.take(corr.reshape(-1), particle_flat(pre, rows, j0))

@@ -67,7 +67,7 @@ def test_fleet_batched_corr_matches_xla():
     from badger_amcl_tpu.sensors.planar import bake_corr_texture, planar_likelihood
 
     rng = np.random.default_rng(7)
-    n = 320
+    n = 448
     cells = np.full((n, n), int(CellState.FREE), np.int8)
     cells[0:2, :] = cells[-2:, :] = int(CellState.OCCUPIED)
     cells[:, 0:2] = cells[:, -2:] = int(CellState.OCCUPIED)

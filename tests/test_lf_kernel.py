@@ -19,7 +19,7 @@ from badger_amcl_tpu.sensors.planar import PlanarScan, PlanarScanParams, planar_
 @pytest.fixture(scope="module")
 def big_map():
     rng = np.random.default_rng(4)
-    n = 320  # >= WIN_COLS so the kernel path is eligible
+    n = 448  # >= corr SLICE_C - 2*PAD_C so the corr/windowed paths are eligible
     cells = np.full((n, n), int(CellState.FREE), np.int8)
     cells[0:2, :] = cells[-2:, :] = int(CellState.OCCUPIED)
     cells[:, 0:2] = cells[:, -2:] = int(CellState.OCCUPIED)
@@ -157,8 +157,16 @@ def test_corr_wide_yaw_falls_back(big_map):
         big_map, PlanarScanParams(), scan, poses, jnp.ones((n,), bool),
         jnp.int32(n), "likelihood_field",
     )
-    # fallback path is the windowed kernel / XLA: bf16-quantized at worst
-    np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_x), rtol=0.01)
+    # the wide-yaw fallback rides the sorted-tile spread kernel (the tight
+    # position cloud makes every tile compact): int8 distance quantization
+    # only — estimator-level agreement, bounded per-particle deviation
+    px, pc = np.asarray(p_x, np.float64), np.asarray(p_c, np.float64)
+    rel = np.abs(pc - px) / np.maximum(px, 1e-12)
+    assert rel.max() < 0.1, rel.max()
+    wx, wc = px / px.sum(), pc / pc.sum()
+    mean_x = (wx[:, None] * np.asarray(poses)).sum(0)
+    mean_c = (wc[:, None] * np.asarray(poses)).sum(0)
+    np.testing.assert_allclose(mean_c[:2], mean_x[:2], atol=5e-3)
 
 
 def test_small_map_uses_xla(box_map):
