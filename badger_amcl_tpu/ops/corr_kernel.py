@@ -268,10 +268,14 @@ def corr_prepass(omap, spose, ranges, angles, valid):
     tight_ok = span_ok & (row_span < PWIN_R_TIGHT) & (
         omap.size_y >= PWIN_R_TIGHT
     )
+    # each variant clips from the RAW window origin — deriving the narrow/
+    # tight origins from the 64-row-clipped one would pin top-edge windows
+    # 40+ rows below the particles (caught by test_corr_at_map_edges)
+    j0_raw = j0
     i0 = jnp.clip(i0, 0, max(omap.size_x - PWIN_C, 0))
-    j0 = jnp.clip(j0, 0, max(omap.size_y - PWIN_R, 0))
-    j0_n = jnp.clip(j0, 0, max(omap.size_y - PWIN_R_NARROW, 0))
-    j0_t = jnp.clip(j0, 0, max(omap.size_y - PWIN_R_TIGHT, 0))
+    j0 = jnp.clip(j0_raw, 0, max(omap.size_y - PWIN_R, 0))
+    j0_n = jnp.clip(j0_raw, 0, max(omap.size_y - PWIN_R_NARROW, 0))
+    j0_t = jnp.clip(j0_raw, 0, max(omap.size_y - PWIN_R_TIGHT, 0))
 
     # max stencil offset magnitude is bounded by the longest valid range
     max_cells = jnp.max(jnp.where(valid, ranges, 0.0)) / res

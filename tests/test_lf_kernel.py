@@ -175,3 +175,43 @@ def test_small_map_uses_xla(box_map):
     scan = _scan(16, range_max=4.0)
     z = lf_kernel.lf_distances(box_map, poses, scan.ranges, scan.angles, interpret=True)
     assert z.shape == (50, 16)
+
+
+def test_corr_at_map_edges(big_map):
+    """Active-region slicing must stay exact when the particle window sits
+    at map corners/edges (origin clamping paths)."""
+    from badger_amcl_tpu.ops import corr_kernel
+
+    res = big_map.resolution
+    half_w = big_map.size_x // 2 * res
+    scan = _scan(32, range_max=4.0)
+    params = PlanarScanParams()
+    for corner in ((-half_w + 0.6, -half_w + 0.6), (half_w - 0.7, -half_w + 0.6),
+                   (-half_w + 0.6, half_w - 0.7), (half_w - 0.7, half_w - 0.7)):
+        key = jax.random.PRNGKey(hash(corner) % (2**31))
+        poses = jnp.concatenate([
+            jnp.array(corner) + 0.1 * jax.random.normal(key, (100, 2)),
+            0.04 * jax.random.normal(key, (100, 1)),
+        ], axis=1).astype(jnp.float32)
+        valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
+        pre = corr_kernel.corr_prepass(big_map, poses, scan.ranges, scan.angles, valid)
+        assert bool(pre["fits"]), corner
+        n = poses.shape[0]
+        p_c, _ = planar_likelihood(
+            big_map, params, scan, poses, jnp.ones((n,), bool), jnp.int32(n),
+            "likelihood_field", backend="pallas_corr_interpret",
+        )
+        p_x, _ = planar_likelihood(
+            big_map, params, scan, poses, jnp.ones((n,), bool), jnp.int32(n),
+            "likelihood_field",
+        )
+        px, pc = np.asarray(p_x, np.float64), np.asarray(p_c, np.float64)
+        # per-particle deviations grow at walls (the pose-lattice rounding
+        # shifts ALL of a particle's wall-hitting beams coherently); the
+        # published estimator is the contract
+        rel = np.abs(pc - px) / np.maximum(np.abs(px), 1e-12)
+        assert rel.mean() < 0.15, (corner, rel.mean())
+        wx, wc = px / px.sum(), pc / pc.sum()
+        mean_x = (wx[:, None] * np.asarray(poses)).sum(0)
+        mean_c = (wc[:, None] * np.asarray(poses)).sum(0)
+        np.testing.assert_allclose(mean_c[:2], mean_x[:2], atol=2e-2)
