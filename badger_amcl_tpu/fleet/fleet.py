@@ -60,11 +60,15 @@ def fleet_step(
     """One full MCL step for every robot. Leading axis R on states, scans,
     pools, odometry; map and model parameters broadcast.
 
-    backend "xla": everything vmapped. Pallas backends: motion/resample stay
-    vmapped; the measurement stage runs as `lax.map` over robots so each
-    robot's likelihood goes through the TPU kernels (Pallas calls don't
-    batch under vmap; a compiled sequential loop over robots beats the XLA
-    scalar-gather path by a wide margin)."""
+    backend "xla": everything vmapped. Pallas backends: motion/resample
+    stay vmapped; the measurement stage runs through the batched-robot corr
+    kernel (_fleet_likelihood) — one pallas call with the robot axis on the
+    grid — with a lax.map-of-kernels fallback outside its envelope.
+
+    Fleet configs should set PFParams.stats_max_clusters (e.g. 128): under
+    vmap the cluster-stats lax.cond lowers to select and BOTH branches
+    execute, so the exact segment_sum fallback costs ~180 ms across 256
+    robots while never being taken."""
     if backend == "xla":
         step = functools.partial(
             mcl.mcl_step_2d,

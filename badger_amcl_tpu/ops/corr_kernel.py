@@ -27,9 +27,11 @@ Performance structure (v2):
   into int32, and read from SMEM — no scalar cos/sin/round per tap.
 - Occupied yaw bins and valid beams are *compacted* (argsort) before the
   kernel, so the tap loop runs exactly t_n x nv iterations with no branches.
-- Two window heights are compiled (narrow 32 rows / standard 64 rows); a
-  lax.cond picks the narrow one when the particle row span allows — a
-  converged cloud's taps then move ~45% fewer bytes per tap.
+- Three window heights are compiled (tight 24 / narrow 32 / standard 64
+  rows); lax.cond picks the smallest the particle row span allows — a
+  converged cloud's taps then move ~60% fewer bytes per tap.
+- The kernel reads a fixed (SLICE_R, SLICE_C) active-region slice of the
+  padded texture (2 MB), so map size never limits this path.
 
 Mosaic constraints shaping the implementation: vector-load origins must be
 (8, 128)-aligned — arbitrary stencil shifts are aligned loads + two dynamic
