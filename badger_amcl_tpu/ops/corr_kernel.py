@@ -79,13 +79,12 @@ def _kernel(
     meta_ref,  # (4,) int32 — (t_n, window row0, window col0, n_valid_beams)
     off_ref,  # (T_MAX * B,) int32 — packed (oj << 16) | (oi & 0xffff)
     # VMEM
-    tex_ref,  # (Hp, Wp) f32 padded likelihood texture
+    tex_ref,  # (8, SLICE_R, SLICE_C) f32 row-preshifted texture copies
     corr_ref,  # out (T_MAX, rows, PWIN_C) f32
     *,
     n_beams: int,
     rows: int,
 ):
-    load_r = rows + 8
     load_c = PWIN_C + 128
     corr_ref[...] = jnp.zeros_like(corr_ref)
     row0 = meta_ref[1]
@@ -104,17 +103,18 @@ def _kernel(
         sc = col0 + oi
         ar = (sr // 8) * 8
         ac = (sc // 128) * 128
-        dr = sr - ar
         dc = sc - ac
-        block = tex_ref[pl.ds(pl.multiple_of(ar, 8), load_r),
+        # the texture arrives as 8 row-preshifted copies: copy d holds
+        # tex[r + d] at row r, so an arbitrary row origin becomes an ALIGNED
+        # load from copy (sr - ar) — no sublane roll, no row margin
+        block = tex_ref[sr - ar, pl.ds(pl.multiple_of(ar, 8), rows),
                         pl.ds(pl.multiple_of(ac, 128), load_c)]
         # pltpu.roll requires NON-NEGATIVE shifts; a traced negative amount
-        # silently miscompiles on the sublane axis (verified on v5e), so the
-        # left-roll by dr/dc is expressed as its right-roll complement.
-        block = pltpu.roll(block, (load_r - dr) % load_r, axis=0)
+        # silently miscompiles (verified on v5e), so the left-roll by dc is
+        # its right-roll complement.
         block = pltpu.roll(block, (load_c - dc) % load_c, axis=1)
         corr_ref[pl.ds(t, 1)] = (
-            corr_ref[pl.ds(t, 1)] + block[0:rows, 0:PWIN_C][None, :, :]
+            corr_ref[pl.ds(t, 1)] + block[:, 0:PWIN_C][None, :, :]
         )
         return 0
 
@@ -136,6 +136,10 @@ def _corr_call(tex_pad, meta, off, n_beams, rows, interpret=False):
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T_MAX, rows, PWIN_C), jnp.float32),
+        # the 8 preshifted copies (16 MB) exceed the 16 MB scoped-vmem
+        # default together with the output table; the chip has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
     )(meta, off, tex_pad)
 
@@ -151,6 +155,9 @@ def _kernel_fleet(
     n_beams: int,
     rows: int,
 ):
+    # NOTE: unlike _kernel, the fleet variant rolls rows in-kernel — per-
+    # robot preshifted copies would materialize R x 16 MB of slices, which
+    # measured SLOWER than the rolls (295 vs 282 ms at 256 robots).
     load_r = rows + 8
     load_c = PWIN_C + 128
     corr_ref[...] = jnp.zeros_like(corr_ref)
@@ -226,6 +233,8 @@ def fleet_corr_call(tex_slices, metas, offs, n_beams, rows, interpret=False):
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((r_pad, T_MAX, rows, PWIN_C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024),
         interpret=interpret,
     )(metas8, offs8, tex_slices)
     return out[:r]
@@ -236,7 +245,7 @@ def map_fits(omap) -> bool:
     NO upper size limit — the kernel reads a fixed slice of the padded
     texture, which lives in HBM at any map size."""
     return (
-        omap.size_y + 2 * PAD_R >= SLICE_R
+        omap.size_y + 2 * PAD_R >= SLICE_R + 8
         and omap.size_x + 2 * PAD_C >= SLICE_C
         and omap.size_y >= PWIN_R
         and omap.size_x >= PWIN_C
@@ -245,11 +254,22 @@ def map_fits(omap) -> bool:
 
 def slice_origin(tex_pad, j0, i0):
     """Aligned origin of the active-region slice in padded-texture coords,
-    clamped inside the texture. Returns (start_j, start_i)."""
+    clamped inside the texture (base slice is SLICE_R + 8 rows so the 8
+    row-preshifted copies can be cut from it). Returns (start_j, start_i)."""
     hp, wp = tex_pad.shape
-    sj = jnp.clip(j0 & ~7, 0, hp - SLICE_R)
+    sj = jnp.clip(j0 & ~7, 0, hp - (SLICE_R + 8))
     si = jnp.clip(i0 & ~127, 0, wp - SLICE_C)
     return sj, si
+
+
+def preshifted_slices(tex_pad, sj, si):
+    """(8, SLICE_R, SLICE_C) copies where copy d holds tex[r + d] at row r
+    — arbitrary row origins become ALIGNED loads from copy (sr mod 8), so
+    the kernel needs no sublane roll and no row alignment margin."""
+    base = jax.lax.dynamic_slice(tex_pad, (sj, si), (SLICE_R + 8, SLICE_C))
+    return jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(base, d, SLICE_R, 0) for d in range(8)]
+    )
 
 
 def corr_prepass(omap, spose, ranges, angles, valid):
@@ -376,9 +396,7 @@ def corr_values(omap, tex_pad, spose, ranges, angles, valid, pre,
 
     def run(rows, j0):
         sj, si = slice_origin(tex_pad, j0, pre["i0"])
-        tex_s = jax.lax.dynamic_slice(
-            tex_pad, (sj, si), (SLICE_R, SLICE_C)
-        )
+        tex_s = preshifted_slices(tex_pad, sj, si)
         meta = jnp.stack(
             [pre["t_n"], j0 + PAD_R - sj, pre["i0"] + PAD_C - si,
              jnp.maximum(pre["nv"], 1)]
