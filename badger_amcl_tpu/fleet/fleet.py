@@ -126,12 +126,25 @@ def _fleet_likelihood(omap, scan_params, scans, states, laser_model, backend):
         return jax.lax.map(one_robot, (states, scans))
 
     from badger_amcl_tpu.ops import corr_kernel
+    from badger_amcl_tpu.sensors.planar import psi_fingerprint
 
+    # the baked psi embeds range_max and the mixture params: require every
+    # robot's range_max to equal the baked one (heterogeneous fleets fall
+    # back rather than silently evaluating with stale baked constants)
+    try:
+        range_maxes = {float(rm) for rm in scans.range_max}
+    except Exception:  # traced: cannot verify the bake — fall back
+        range_maxes = None
+    want = (
+        psi_fingerprint(laser_model, scan_params, next(iter(range_maxes)))
+        if range_maxes is not None and len(range_maxes) == 1 else None
+    )
     if (
         backend not in ("pallas_corr", "pallas_corr_interpret")
         or laser_model not in CORR_MODELS
         or omap.corr_psi_pad is None
-        or omap.corr_psi_model != laser_model
+        or want is None
+        or omap.corr_psi_key != want
         or not corr_kernel.map_fits(omap)
     ):
         return slow()

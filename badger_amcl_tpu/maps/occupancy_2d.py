@@ -73,11 +73,14 @@ class OccupancyMap2D:
     # (uint16 (K, H, W) cells; see maps/range_image.py)
     range_image: Optional[jnp.ndarray] = None
     # optional pre-baked padded psi texture for the stencil-correlation
-    # kernel (ops/corr_kernel.py), tagged by the planar model it was baked
-    # for. Baked once per (map, sensor params) like the distance LUT itself
+    # kernel (ops/corr_kernel.py), tagged by the FULL bake fingerprint
+    # (model, range_max, z_hit, z_rand, sigma_hit — everything psi embeds;
+    # sensors.planar.psi_fingerprint) so a scan with a different range_max
+    # or reconfigured mixture can never silently ride a stale texture.
+    # Baked once per (map, sensor params) like the distance LUT itself
     # (sensors.planar.bake_corr_texture); rebaked on reconfigure.
     corr_psi_pad: Optional[jnp.ndarray] = None
-    corr_psi_model: Optional[str] = None
+    corr_psi_key: Optional[tuple] = None
 
     # --- construction -----------------------------------------------------
 
@@ -231,12 +234,12 @@ def _occ_flatten(m: OccupancyMap2D):
     leaves = (m.cells, m.distances, m.range_image, m.corr_psi_pad)
     aux = (m.resolution, m.size_x, m.size_y, m.origin_x, m.origin_y,
            m.max_distance_to_object, m.distances is None, m.range_image is None,
-           m.corr_psi_pad is None, m.corr_psi_model)
+           m.corr_psi_pad is None, m.corr_psi_key)
     return leaves, aux
 
 
 def _occ_unflatten(aux, leaves):
-    res, sx, sy, ox, oy, maxd, no_dist, no_ri, no_psi, psi_model = aux
+    res, sx, sy, ox, oy, maxd, no_dist, no_ri, no_psi, psi_key = aux
     cells, distances, range_image, corr_psi_pad = leaves
     return OccupancyMap2D(
         resolution=res, size_x=sx, size_y=sy, origin_x=ox, origin_y=oy,
@@ -244,7 +247,7 @@ def _occ_unflatten(aux, leaves):
         max_distance_to_object=maxd,
         range_image=None if no_ri else range_image,
         corr_psi_pad=None if no_psi else corr_psi_pad,
-        corr_psi_model=psi_model,
+        corr_psi_key=psi_key,
     )
 
 

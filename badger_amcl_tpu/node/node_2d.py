@@ -153,11 +153,14 @@ class Node2D(Node):
         model = self.config.laser_model_type.value
         if model not in CORR_MODELS:
             return
-        key = (id(self.map.distances), model, range_max)
+        # keyed on an explicit map version bumped at map receipt (NOT id():
+        # CPython recycles object ids, so a new map's distances array landing
+        # at a freed address would silently keep the old texture)
+        key = (getattr(self, "_map_version", 0), model, range_max)
         if getattr(self, "_corr_tex_key", None) == key:
             return
         self.map = bake_corr_texture(self.map, self._base_params, range_max, model)
-        self._corr_tex_key = (id(self.map.distances), model, range_max)
+        self._corr_tex_key = key
 
     # ------------------------------------------------------------------ map
 
@@ -192,6 +195,8 @@ class Node2D(Node):
         self.scanner_params = []
         self.scanners_update = []
         self.latest_scan = None
+        self._map_version = getattr(self, "_map_version", 0) + 1
+        self._corr_tex_key = None
         self.init_from_new_map(omap, use_initial_pose=not self.first_map_received)
         self._update_free_space_indices()
         self.first_map_received = True

@@ -26,6 +26,15 @@ from jax import lax
 
 _CHUNK = 128
 
+# On TPU, f32 dot_general at Precision.DEFAULT truncates operands to
+# bfloat16 (~8 mantissa bits) — which silently breaks the "exact one-hot"
+# contract for the DATA operand (resampled poses, second moments E[x^2]
+# whose cancellation against E[x]^2 would be swamped far from the origin).
+# HIGHEST keeps full f32; the one-hot operands are cheap either way.
+# CPU tests can't catch this (DEFAULT is full f32 there); the hardware
+# probe suite (benchmarks/probe_kernels.py) value-checks it on chip.
+_PRECISION = lax.Precision.HIGHEST
+
 
 def gather_rows(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """data (n, d) f32, idx (q,) int32 in [0, n) -> (q, d) == data[idx].
@@ -46,7 +55,7 @@ def gather_rows(data: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     )
     rows = lax.dot_general(
         onehot_c, data_r, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=data.dtype,
+        preferred_element_type=data.dtype, precision=_PRECISION,
     ).reshape(q, _CHUNK, d)
     onehot_w = (within[:, None] == jnp.arange(_CHUNK, dtype=jnp.int32)[None, :]).astype(
         data.dtype
@@ -63,7 +72,7 @@ def segment_sums_small(values: jnp.ndarray, seg_ids: jnp.ndarray, k: int) -> jnp
     )
     return lax.dot_general(
         values, onehot, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=values.dtype,
+        preferred_element_type=values.dtype, precision=_PRECISION,
     )
 
 
@@ -77,7 +86,7 @@ def window_values(win: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray) -> jnp
     oh_c = (cols[:, None] == jnp.arange(c, dtype=jnp.int32)[None, :]).astype(win.dtype)
     colvals = lax.dot_general(
         oh_c, win, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=win.dtype,
+        preferred_element_type=win.dtype, precision=_PRECISION,
     )  # (q, R)
     oh_r = (rows[:, None] == jnp.arange(r, dtype=jnp.int32)[None, :]).astype(win.dtype)
     return jnp.sum(colvals * oh_r, axis=1)

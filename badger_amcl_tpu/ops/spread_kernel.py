@@ -245,20 +245,28 @@ def spread_prepass(omap, spose, ranges, angles, valid):
     skip = (ci_min == big) | ~valid[:, None]  # (B, n_tiles)
     pad8 = (-n_tiles) % 8
 
-    def pack(row0, col0, rows, cols):
+    def packed_origins(row0, col0, rows, cols):
+        """Clipped + aligned window origins — the ones the kernel actually
+        loads from. Fit checks MUST test against these, not the raw mins:
+        near the bottom/right edge the clip moves the origin up/left, so an
+        endpoint that fit the unclipped origin can fall past the real
+        window's end (the in-kernel clip would then silently read a wrong
+        cell up to 31/127 away)."""
         row0 = jnp.clip(row0, 0, omap.size_y - rows) & ~31
         col0 = jnp.clip(col0, 0, omap.size_x - cols) & ~127
-        return jnp.left_shift(row0, 16) | col0
+        return row0, col0
 
     # standard pass: per-(tile, beam) windows
-    row0_s = jnp.where(skip, 0, cj_min) & ~31
-    col0_s = jnp.where(skip, 0, ci_min) & ~127
+    row0_s, col0_s = packed_origins(
+        jnp.where(skip, 0, cj_min), jnp.where(skip, 0, ci_min), ROWS, COLS
+    )
     fit_s = skip | (
-        ((cj_max - row0_s) < ROWS) & ((ci_max - col0_s) < COLS)
+        (cj_min >= row0_s) & ((cj_max - row0_s) < ROWS)
+        & (ci_min >= col0_s) & ((ci_max - col0_s) < COLS)
     )
     tile_std = jnp.all(fit_s, axis=0)  # (n_tiles,)
     org_std = jnp.transpose(
-        pack(row0_s, col0_s, ROWS, COLS)
+        jnp.left_shift(row0_s, 16) | col0_s
     ).astype(jnp.int32)
     if pad8:
         org_std = jnp.pad(org_std, ((0, pad8), (0, 0)))
@@ -269,14 +277,17 @@ def spread_prepass(omap, spose, ranges, angles, valid):
     tci_max = jnp.max(jnp.where(skip, -big, ci_max), axis=0)
     tcj_max = jnp.max(jnp.where(skip, -big, cj_max), axis=0)
     tile_empty = tci_min == big
-    row0_n = jnp.where(tile_empty, 0, tcj_min) & ~31
-    col0_n = jnp.where(tile_empty, 0, tci_min) & ~127
+    row0_n, col0_n = packed_origins(
+        jnp.where(tile_empty, 0, tcj_min), jnp.where(tile_empty, 0, tci_min),
+        ROWS_N, COLS_N,
+    )
     tile_nrw = tile_empty | (
-        ((tcj_max - row0_n) < ROWS_N) & ((tci_max - col0_n) < COLS_N)
+        (tcj_min >= row0_n) & ((tcj_max - row0_n) < ROWS_N)
+        & (tci_min >= col0_n) & ((tci_max - col0_n) < COLS_N)
     )
     if not (omap.size_y >= ROWS_N and omap.size_x >= COLS_N):
         tile_nrw = jnp.zeros_like(tile_nrw)
-    org_nrw = pack(row0_n, col0_n, ROWS_N, COLS_N).astype(jnp.int32)[:, None]
+    org_nrw = (jnp.left_shift(row0_n, 16) | col0_n).astype(jnp.int32)[:, None]
     if pad8:
         org_nrw = jnp.pad(org_nrw, ((0, pad8), (0, 0)))
 

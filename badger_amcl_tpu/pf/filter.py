@@ -200,6 +200,9 @@ def _pick_indices(weights, r):
     rows = jax.lax.dot_general(
         onehot, cum2d, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=cum.dtype,
+        # HIGHEST: TPU DEFAULT truncates the f32 cum values to bf16, which
+        # would shift the in-chunk count when adjacent weights are close.
+        precision=jax.lax.Precision.HIGHEST,
     )  # (Q, chunk)
     within = jnp.sum(r[:, None] >= rows, axis=1).astype(jnp.int32)
     idx = ci * chunk + within

@@ -149,6 +149,19 @@ CORR_MODELS = ("likelihood_field", "likelihood_field_prob",
                "likelihood_field_gompertz")
 
 
+def psi_fingerprint(model: str, params: PlanarScanParams, range_max):
+    """Everything the baked psi texture embeds: a texture is only valid for
+    a scan/params combination whose fingerprint matches EXACTLY (a stale
+    range_max or reconfigured mixture must force a re-bake, not silently
+    evaluate with baked constants). Returns None when range_max is traced
+    (can't fingerprint inside jit — callers then take the fresh-bake path)."""
+    try:
+        return (model, float(range_max), float(params.z_hit),
+                float(params.z_rand), float(params.sigma_hit))
+    except Exception:  # traced under jit: no concrete fingerprint
+        return None
+
+
 def corr_combine(model: str, params: PlanarScanParams, s, n_valid):
     """Map the corr kernel's per-particle psi sum to the model's p
     (the lambda each model hands _corr_dispatch, shared with the fleet
@@ -177,13 +190,16 @@ def bake_corr_texture(omap: OccupancyMap2D, params: PlanarScanParams,
 
     if (model not in CORR_MODELS or omap.distances is None
             or not corr_kernel.map_fits(omap)):
-        return dataclasses.replace(omap, corr_psi_pad=None, corr_psi_model=None)
+        return dataclasses.replace(omap, corr_psi_pad=None, corr_psi_key=None)
+    key = psi_fingerprint(model, params, range_max)
+    if key is None:  # traced params can't be fingerprinted — don't bake
+        return dataclasses.replace(omap, corr_psi_pad=None, corr_psi_key=None)
     psi = _corr_psi_fn(model, params, jnp.float32(range_max))
     pad = corr_kernel.build_tex_pad(
         omap, psi(omap.distances),
         psi(jnp.float32(omap.max_distance_to_object)),
     )
-    return dataclasses.replace(omap, corr_psi_pad=pad, corr_psi_model=model)
+    return dataclasses.replace(omap, corr_psi_pad=pad, corr_psi_key=key)
 
 
 def _corr_dispatch(omap, scan, spose, model, params, combine_fn,
@@ -204,7 +220,9 @@ def _corr_dispatch(omap, scan, spose, model, params, combine_fn,
     pre = corr_kernel.corr_prepass(omap, spose, scan.ranges, scan.angles, valid)
 
     def fast(_):
-        if omap.corr_psi_pad is not None and omap.corr_psi_model == model:
+        want = psi_fingerprint(model, params, scan.range_max)
+        if (omap.corr_psi_pad is not None and want is not None
+                and omap.corr_psi_key == want):
             tex_pad = omap.corr_psi_pad
         else:
             psi_fn = _corr_psi_fn(model, params, scan.range_max)

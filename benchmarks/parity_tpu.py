@@ -65,7 +65,7 @@ def run():
                 pose_mean=mean,
             )
             omap = dataclasses.replace(
-                omap, corr_psi_pad=None, corr_psi_model=None)
+                omap, corr_psi_pad=None, corr_psi_key=None)
             omap = bake_corr_texture(omap, scan_params, 8.0, model)
             # the scan must be CONSISTENT with the map or no particle
             # matches and the prob model's log-product underflows the whole
