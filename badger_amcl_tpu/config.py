@@ -73,8 +73,22 @@ REFERENCE_PARAM_ALIASES = {
 # Params the reference declares but never reads (verified against all
 # private_nh_.param sites): silently accepted so reference launch configs
 # load unmodified.
+# - odom_integrator_topic: set by both shipped launches, but node.cpp:155-156
+#   hardcodes the "odom" topic and never reads the param.
+# - global_localization_point_cloud_scanner_*: the 3D launch's spellings
+#   (badger_amcl_3d.launch:62-63); the code reads
+#   `global_localization_scanner_*` instead (node_3d.cpp:75-77), so these
+#   exact spellings are declared-but-unread — accepted and IGNORED, like the
+#   reference does.
 REFERENCE_UNREAD_PARAMS = frozenset(
-    {"gui_publish_rate", "use_map_topic", "off_object_penalty_factor"}
+    {
+        "gui_publish_rate",
+        "use_map_topic",
+        "off_object_penalty_factor",
+        "odom_integrator_topic",
+        "global_localization_point_cloud_scanner_off_map_factor",
+        "global_localization_point_cloud_scanner_non_free_space_factor",
+    }
 )
 
 

@@ -55,6 +55,7 @@ class Sim2D:
         odom_noise=(0.002, 0.002, 0.001),
         scanner_frame: str = "laser",
         scanner_mount: Optional[Transform] = None,
+        base_frame: str = "base_link",
         seed: int = 1,
     ):
         self.grid = grid
@@ -72,8 +73,9 @@ class Sim2D:
         self.scanner_mount = scanner_mount or Transform.identity()
         self.key = jax.random.PRNGKey(seed)
         self.t = 0.0
+        self.base_frame = base_frame
         self.tf = TransformBuffer()
-        self.tf.set_static("base_link", scanner_frame, self.scanner_mount)
+        self.tf.set_static(base_frame, scanner_frame, self.scanner_mount)
         self._beam_angles = jnp.linspace(
             -math.pi * 0.75, math.pi * 0.75, n_beams
         ).astype(jnp.float32)
@@ -85,7 +87,7 @@ class Sim2D:
 
     def _publish_odom_tf(self):
         self.tf.set_transform(
-            "odom", "base_link", self.t, Transform.from_pose2d(self.odom_pose)
+            "odom", self.base_frame, self.t, Transform.from_pose2d(self.odom_pose)
         )
 
     def teleport(self, pose):
@@ -142,6 +144,7 @@ class Sim3D:
         scanner_mount: Optional[Transform] = None,
         noise: float = 0.01,
         odom_noise=(0.002, 0.002, 0.001),
+        base_frame: str = "base_link",
         seed: int = 2,
     ):
         self.occupied = np.asarray(occupied_centers, float)
@@ -155,8 +158,9 @@ class Sim3D:
         self.scanner_mount = scanner_mount or Transform.identity()
         self.key = jax.random.PRNGKey(seed)
         self.t = 0.0
+        self.base_frame = base_frame
         self.tf = TransformBuffer()
-        self.tf.set_static("base_link", scanner_frame, self.scanner_mount)
+        self.tf.set_static(base_frame, scanner_frame, self.scanner_mount)
         self._publish_odom_tf()
 
     def _next_key(self):
@@ -165,7 +169,7 @@ class Sim3D:
 
     def _publish_odom_tf(self):
         self.tf.set_transform(
-            "odom", "base_link", self.t, Transform.from_pose2d(self.odom_pose)
+            "odom", self.base_frame, self.t, Transform.from_pose2d(self.odom_pose)
         )
 
     def step(self, v: float, w: float, dt: float = 0.1):

@@ -25,31 +25,33 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    import os
+
     import numpy as np
 
-    from badger_amcl_tpu.config import AMCLConfig
+    from badger_amcl_tpu.cli import load_config
     from badger_amcl_tpu.node import make_node
     from badger_amcl_tpu.sim import Sim2D, make_room_grid
 
     pose_log = []
     tf_log = []
 
+    # The shipped production config (faithful mirror of the reference's
+    # badger_amcl_2d.launch): systematic resampling, 2x supersampled map,
+    # base_footprint, gompertz measurement constants. Overrides below are
+    # sim-scale only (particle count, update cadence, save path).
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "amcl_2d.yaml"))
     grid = make_room_grid(n=240, resolution=0.05, n_pillars=12)
-    sim = Sim2D(grid, start_pose=(-3.0, -3.0, 0.3), n_beams=180)
+    sim = Sim2D(grid, start_pose=(-3.0, -3.0, 0.3), n_beams=180,
+                base_frame=cfg.base_frame_id)
     save_path = tempfile.mktemp(suffix=".yaml")
-    cfg = AMCLConfig.for_2d(
+    cfg = cfg.replace(
         min_particles=200,
         max_particles=args.particles,
-        laser_max_beams=60,
         update_min_d=0.05,
         update_min_a=0.05,
-        odom_alpha1=0.05, odom_alpha2=0.05, odom_alpha3=0.05,
-        odom_alpha4=0.05, odom_alpha5=0.05,
-        save_pose=True,
         saved_pose_filepath=save_path,
         save_pose_to_file_rate=1.0,
-        uniform_pose_starting_weight_threshold=3.0,
-        uniform_pose_deweight_multiplier=0.95,
     )
     node = make_node(cfg, tf_buffer=sim.tf)
     node.init_pose = np.array([-3.0, -3.0, 0.3])
