@@ -1,0 +1,315 @@
+"""One-command on-hardware value probe for every Pallas kernel.
+
+Why this exists: round 1's corr kernel was silently WRONG on real v5e
+(negative `pltpu.roll` shifts miscompile sublane rotates) while every CPU
+interpret-mode test stayed green. The regression class is
+compiled-on-hardware != interpret semantics, so each probe runs the SAME
+tiny inputs through the compiled kernel and through interpret mode on the
+chip and compares values; where the kernel has an exact contract
+(mxu_gather one-hot ops, spread int8 quantization) it is additionally
+checked against a pure-numpy reference — which also catches f32->bf16
+operand truncation that CPU tests cannot see (ops/mxu_gather.py).
+
+Run (serialize with any other TPU job!):
+
+    PYTHONPATH=/root/repo python benchmarks/probe_kernels.py
+
+Prints one JSON line: {"ok": bool, "probes": {name: {"ok": b, "max_diff":
+d, ...}}}; exit code 0 iff all probes pass. Record the output as
+PROBES_r{N}.json before milestone commits (CLAUDE.md rule).
+"""
+
+import json
+import sys
+
+import numpy as np
+
+import jax
+
+# --cpu-dryrun must flip the platform BEFORE any module below touches a
+# device, or the axon backend initializes first and the run hangs on the
+# tunnel.
+INTERPRET_HW = False
+if __name__ == "__main__" and "--cpu-dryrun" in sys.argv:
+    INTERPRET_HW = True
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+from badger_amcl_tpu.maps import CellState, OccupancyMap2D
+from badger_amcl_tpu.maps.octomap_3d import OctoMap3D
+from badger_amcl_tpu.ops import (
+    beam_kernel, corr_kernel, lf_kernel, mxu_gather, pc_kernel, spread_kernel,
+)
+from badger_amcl_tpu.sensors.planar import (
+    PlanarScan, PlanarScanParams, bake_corr_texture,
+)
+
+RESULTS = {}
+
+
+def probe(name, got, want, tol, frac_exact=None, flip_tol=None):
+    """Assert |got-want| <= tol everywhere. With frac_exact/flip_tol set,
+    allow a small fraction of entries to deviate up to flip_tol instead —
+    for numpy cross-checks where f32-vs-f64 trig flips a cell at floor()
+    boundaries (the neighboring cell's distance differs by at most the
+    field's Lipschitz bound, far below a wrong-window bug's max_dist-scale
+    error)."""
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    diff = np.abs(got - want)
+    d = float(np.max(diff)) if got.size else 0.0
+    if frac_exact is None:
+        ok = d <= tol
+        RESULTS[name] = {"ok": bool(ok), "max_diff": d, "tol": tol}
+        print(f"  {name:<28s} max_diff={d:.3e} tol={tol:.0e} "
+              f"{'ok' if ok else 'FAIL'}", file=sys.stderr)
+    else:
+        fe = float(np.mean(diff <= tol)) if got.size else 1.0
+        ok = fe >= frac_exact and d <= flip_tol
+        RESULTS[name] = {"ok": bool(ok), "max_diff": d, "tol": tol,
+                         "frac_exact": fe, "frac_exact_req": frac_exact,
+                         "flip_tol": flip_tol}
+        print(f"  {name:<28s} max_diff={d:.3e} frac_exact={fe:.4f} "
+              f"{'ok' if ok else 'FAIL'}", file=sys.stderr)
+
+
+def make_map(n=512, seed=11):
+    rng = np.random.default_rng(seed)
+    cells = np.full((n, n), int(CellState.FREE), np.int8)
+    cells[0:2, :] = cells[-2:, :] = int(CellState.OCCUPIED)
+    cells[:, 0:2] = cells[:, -2:] = int(CellState.OCCUPIED)
+    for _ in range(24):
+        cx, cy = rng.integers(16, n - 24, 2)
+        cells[cy:cy + 6, cx:cx + 6] = int(CellState.OCCUPIED)
+    return OccupancyMap2D.from_cells(cells, 0.05).with_distance_field(2.0)
+
+
+def scan_of(b, rmax=6.0, rcap=2.5):
+    angles = jnp.linspace(-2.2, 2.2, b).astype(jnp.float32)
+    ranges = jnp.clip(2.0 + jnp.sin(angles * 5.0), 0.3, rcap)
+    return PlanarScan(ranges=ranges, angles=angles, range_max=jnp.float32(rmax))
+
+
+def cloud(n, sx, sy, sth, seed=0, center=(0.0, 0.0, 0.0)):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    c = jnp.asarray(center, jnp.float32)
+    return jnp.stack([
+        c[0] + sx * jax.random.normal(k1, (n,)),
+        c[1] + sy * jax.random.normal(k2, (n,)),
+        c[2] + sth * jax.random.normal(k3, (n,)),
+    ], axis=1).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------- mxu_gather
+
+
+def probe_mxu_gather():
+    rng = np.random.default_rng(0)
+    # values that NEED full f32 mantissa: 1 + k*2^-20 is destroyed by bf16
+    data = (1.0 + rng.integers(0, 1000, (300, 3)) * 2.0 ** -20).astype(np.float32)
+    idx = rng.integers(0, 300, 700).astype(np.int32)
+    got = mxu_gather.gather_rows(jnp.asarray(data), jnp.asarray(idx))
+    probe("mxu.gather_rows", got, data[idx], 0.0)
+
+    vals = (1.0 + rng.integers(0, 1000, (9, 400)) * 2.0 ** -20).astype(np.float32)
+    ids = rng.integers(0, 16, 400).astype(np.int32)
+    got = mxu_gather.segment_sums_small(jnp.asarray(vals), jnp.asarray(ids), 16)
+    want = np.zeros((9, 16), np.float64)
+    for q in range(400):
+        want[:, ids[q]] += vals[:, q]
+    # sums of ~25 f32 terms: tiny association slack, but bf16 truncation
+    # of the operands would show up at ~1e-3
+    probe("mxu.segment_sums_small", got, want, 1e-5)
+
+    win = (rng.integers(0, 4000, (32, 128)) * 2.0 ** -20 + 1.0).astype(np.float32)
+    rows = rng.integers(0, 32, 500).astype(np.int32)
+    cols = rng.integers(0, 128, 500).astype(np.int32)
+    got = mxu_gather.window_values(jnp.asarray(win), jnp.asarray(rows),
+                                   jnp.asarray(cols))
+    probe("mxu.window_values", got, win[rows, cols], 0.0)
+
+
+# ------------------------------------------------------------------ lf / pc
+
+
+def probe_lf(omap):
+    poses = cloud(600, 0.15, 0.15, 0.04, seed=1)
+    scan = scan_of(48, rcap=5.9)
+    _, _, fits = lf_kernel.window_origins(omap, poses, scan.ranges, scan.angles)
+    assert bool(fits), "lf probe cloud must fit the window"
+    hw = lf_kernel.lf_distances(omap, poses, scan.ranges, scan.angles,
+                                interpret=INTERPRET_HW)
+    it = lf_kernel.lf_distances(omap, poses, scan.ranges, scan.angles,
+                                interpret=True)
+    probe("lf.hw_vs_interpret", hw, it, 1e-5)
+    # numpy reference (bf16 texture contract: <=0.2% of max distance + half ulp)
+    th = np.asarray(poses[:, 2:3]) + np.asarray(scan.angles)[None, :]
+    hx = np.asarray(poses[:, 0:1]) + np.asarray(scan.ranges)[None, :] * np.cos(th)
+    hy = np.asarray(poses[:, 1:2]) + np.asarray(scan.ranges)[None, :] * np.sin(th)
+    ij = np.asarray(omap.world_to_map(jnp.stack([jnp.asarray(hx),
+                                                 jnp.asarray(hy)], axis=-1)))
+    dist = np.asarray(omap.distances)
+    ii = np.clip(ij[..., 0], 0, omap.size_x - 1)
+    jj = np.clip(ij[..., 1], 0, omap.size_y - 1)
+    inmap = ((ij[..., 0] >= 0) & (ij[..., 0] < omap.size_x)
+             & (ij[..., 1] >= 0) & (ij[..., 1] < omap.size_y))
+    want = np.where(inmap, dist[jj, ii], omap.max_distance_to_object)
+    probe("lf.hw_vs_numpy", hw, want, 0.01, frac_exact=0.995, flip_tol=0.15)
+
+
+def probe_pc():
+    rng = np.random.default_rng(2)
+    pts = []
+    n, nz = 400, 12  # 20 m x 20 m x 0.6 m @ 5 cm: nx=400 >= WIN_COLS
+    for k in range(nz):
+        z = (k + 0.5) * 0.05
+        for i in range(0, n, 2):
+            x = (i + 0.5) * 0.05
+            pts += [[x, 0.025, z], [x, 20 - 0.025, z],
+                    [0.025, x, z], [20 - 0.025, x, z]]
+    for _ in range(16):
+        cx, cy = rng.uniform(2, 18, 2)
+        for k in range(nz):
+            pts.append([cx, cy, (k + 0.5) * 0.05])
+    omap3 = OctoMap3D.from_occupied_points(
+        np.array(pts), 0.05, 0.4, metric_min=(0, 0, 0),
+        metric_max=(20, 20, 0.6),
+    ).with_distance_field()
+    assert pc_kernel.tex_fits(omap3)
+    ang = rng.uniform(-np.pi, np.pi, 64)
+    r = rng.uniform(0.5, 3.0, 64)
+    z = rng.uniform(0.1, 0.5, 64)
+    cld = jnp.asarray(np.stack([r * np.cos(ang), r * np.sin(ang), z], axis=1),
+                      jnp.float32)
+    poses = cloud(300, 0.12, 0.12, 0.05, seed=5, center=(10.0, 10.0, 0.7))
+    hw = pc_kernel.pc_distances_t(omap3, cld, poses, interpret=INTERPRET_HW)
+    it = pc_kernel.pc_distances_t(omap3, cld, poses, interpret=True)
+    probe("pc.hw_vs_interpret", hw, it, 1e-5)
+
+
+# -------------------------------------------------------------------- corr
+
+
+def probe_corr(omap):
+    params = PlanarScanParams()
+    omap = bake_corr_texture(omap, params, 6.0, "likelihood_field")
+    scan = scan_of(48)
+    valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
+    shapes = {
+        "tight": cloud(500, 0.10, 0.10, 0.03, seed=2),
+        "narrow": cloud(500, 0.22, 0.22, 0.05, seed=3),
+        "std": cloud(500, 0.45, 0.45, 0.10, seed=4),
+    }
+    for name, poses in shapes.items():
+        pre = corr_kernel.corr_prepass(omap, poses, scan.ranges, scan.angles,
+                                       valid)
+        assert bool(pre["fits"]), f"corr {name} cloud must fit"
+        if name == "tight":
+            assert bool(pre["tight"]), "tight cloud must take the 24-row arm"
+        elif name == "narrow":
+            assert bool(pre["narrow"]) and not bool(pre["tight"]), \
+                "narrow cloud must take the 32-row arm"
+        else:
+            assert not bool(pre["narrow"]) and not bool(pre["tight"]), \
+                "std cloud must take the 64-row arm"
+        hw = corr_kernel.corr_values(omap, omap.corr_psi_pad, poses,
+                                     scan.ranges, scan.angles, valid, pre,
+                                     interpret=INTERPRET_HW)
+        it = corr_kernel.corr_values(omap, omap.corr_psi_pad, poses,
+                                     scan.ranges, scan.angles, valid, pre,
+                                     interpret=True)
+        probe(f"corr.{name}_hw_vs_interpret", hw, it, 1e-4)
+
+
+# ------------------------------------------------------------------- spread
+
+
+def probe_spread(omap):
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3 = jax.random.split(key, 3)
+    # dense uniform core (batched arm) + far-flung sparse stragglers
+    # (per-beam-window arm)
+    dense = jnp.concatenate([
+        jax.random.uniform(k1, (3600, 2), minval=-4.0, maxval=4.0),
+        jax.random.uniform(k2, (3600, 1), minval=-3.14, maxval=3.14),
+    ], axis=1)
+    # a sparse band off the dense core: too wide for the one-window batched
+    # arm once beam-dilated, but each (tile, beam) window still fits -> the
+    # per-beam std arm runs
+    few = jnp.concatenate([
+        jax.random.uniform(k3, (80, 1), minval=-3.0, maxval=3.0),
+        jax.random.uniform(jax.random.PRNGKey(99), (80, 1),
+                           minval=5.5, maxval=6.5),
+        jnp.zeros((80, 1)),
+    ], axis=1)
+    poses = jnp.concatenate([dense, few], axis=0).astype(jnp.float32)
+    scan = scan_of(24)
+    valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
+    pre = spread_kernel.spread_prepass(omap, poses, scan.ranges, scan.angles,
+                                       valid)
+    assert bool(pre["fits"]), "spread probe cloud must fit"
+    flags = np.asarray(pre["flags"][: pre["n_tiles"]])
+    assert flags.sum() > 0, "no dense (batched) tiles exercised"
+    assert (flags == 0).sum() > 0, "no sparse (std) tiles exercised"
+    hw = spread_kernel.spread_distances_sorted(
+        omap, poses, scan.ranges, scan.angles, valid, pre,
+        interpret=INTERPRET_HW)
+    it = spread_kernel.spread_distances_sorted(
+        omap, poses, scan.ranges, scan.angles, valid, pre, interpret=True)
+    probe("spread.hw_vs_interpret", hw, it, 1e-5)
+    # numpy reference incl. the exact int8 quantization contract
+    sp = np.asarray(pre["spose_s"])
+    th = sp[None, :, 2] + np.asarray(scan.angles)[:, None]
+    r = np.asarray(scan.ranges)[:, None]
+    hx = sp[None, :, 0] + r * np.cos(th)
+    hy = sp[None, :, 1] + r * np.sin(th)
+    ij = np.asarray(omap.world_to_map(jnp.stack(
+        [jnp.asarray(hx), jnp.asarray(hy)], axis=-1)))
+    maxd = omap.max_distance_to_object
+    tex8 = np.asarray(jnp.round(
+        omap.distances * (spread_kernel.QLEVELS / maxd)).astype(jnp.int8))
+    ii = np.clip(ij[..., 0], 0, omap.size_x - 1)
+    jj = np.clip(ij[..., 1], 0, omap.size_y - 1)
+    inmap = ((ij[..., 0] >= 0) & (ij[..., 0] < omap.size_x)
+             & (ij[..., 1] >= 0) & (ij[..., 1] < omap.size_y))
+    want = np.where(inmap, tex8[jj, ii] * (maxd / spread_kernel.QLEVELS), maxd)
+    probe("spread.hw_vs_numpy", hw, want, 1e-5, frac_exact=0.995,
+          flip_tol=0.15)
+
+
+# --------------------------------------------------------------------- beam
+
+
+def probe_beam():
+    omap = make_map(320, seed=6).with_range_image(n_angles=128)
+    params = PlanarScanParams()
+    scan = scan_of(32, rmax=8.0, rcap=7.0)
+    poses = cloud(400, 0.15, 0.15, 0.05, seed=8)
+    pre = beam_kernel.beam_prepass(omap, poses)
+    hw = beam_kernel.beam_corr_values(omap, params, scan, poses, pre,
+                                      interpret=INTERPRET_HW)
+    it = beam_kernel.beam_corr_values(omap, params, scan, poses, pre,
+                                      interpret=True)
+    probe("beam.hw_vs_interpret", hw, it, 1e-4)
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"probing on {dev.platform} ({dev.device_kind})", file=sys.stderr)
+    omap = make_map()
+    probe_mxu_gather()
+    probe_lf(omap)
+    probe_corr(omap)
+    probe_spread(omap)
+    probe_pc()
+    probe_beam()
+    ok = all(r["ok"] for r in RESULTS.values())
+    print(json.dumps({"ok": ok, "platform": dev.platform,
+                      "device": str(dev.device_kind), "probes": RESULTS}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
