@@ -76,6 +76,30 @@ def segment_sums_small(values: jnp.ndarray, seg_ids: jnp.ndarray, k: int) -> jnp
     )
 
 
+def broadcast_small(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """out[q] = table[ids[q]] for a SMALL 1-D f32 table (k <= a few
+    thousand) and many queries — chunked one-hot MXU contraction; exact.
+
+    Replaces M-sized gathers from tiny tables, which XLA lowers to the same
+    ~7.8 ns/index scalar loop as big gathers (CLAUDE.md). Out-of-range ids
+    return 0."""
+    k = table.shape[0]
+    k_pad = -(-k // _CHUNK) * _CHUNK
+    n_chunks = k_pad // _CHUNK
+    t2 = jnp.zeros((k_pad,), table.dtype).at[:k].set(table)
+    t2 = t2.reshape(n_chunks, _CHUNK)
+    ci = (ids // _CHUNK).astype(jnp.int32)
+    onehot_c = (ci[:, None] == jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
+                ).astype(table.dtype)
+    rows = lax.dot_general(
+        onehot_c, t2, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=table.dtype, precision=_PRECISION,
+    )  # (q, _CHUNK)
+    within = (ids - ci * _CHUNK).astype(jnp.int32)
+    inner = within[:, None] == jnp.arange(_CHUNK, dtype=jnp.int32)[None, :]
+    return jnp.sum(jnp.where(inner, rows, 0), axis=1)
+
+
 def window_values(win: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
     """out[q] = win[rows[q], cols[q]] for a small window (R, C) — one
     one-hot MXU contraction over columns plus a row one-hot reduce; exact.

@@ -73,6 +73,70 @@ def _cluster_grid(occ_flat, shape):
     return labels.reshape(-1)
 
 
+# Static capacity of the sorted path's unique-bin compaction. Tracking
+# clouds occupy hundreds of bins; clouds with more unique bins (deep global
+# localization) take the grid-gather branch of the lax.cond instead.
+MAX_UNIQUE_BINS = 8192
+
+
+def _label_grid_machinery(occ, shape):
+    """Dilate occupancy into component labels and dense root ranks —
+    O(cells) vector work shared by every ranks path."""
+    labels_grid = _cluster_grid(occ, shape)
+    n_cells = labels_grid.shape[0]
+    cell_idx = jnp.arange(n_cells, dtype=jnp.int32)
+    is_root = occ & (labels_grid == cell_idx)
+    rank_grid = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # rank at roots
+    cluster_count = jnp.sum(is_root).astype(jnp.int32)
+    return labels_grid, rank_grid, cluster_count
+
+
+def _ranks_grid_path(flat, active, shape):
+    """Per-particle cluster ranks via one M-sized occupancy scatter plus
+    two M-sized dependent gathers (the round-2 formulation; ~2 ms at 50k).
+    Used by the fleet path (sorts lower poorly under vmap) and as the
+    spread-cloud fallback when unique bins exceed MAX_UNIQUE_BINS."""
+    occ = kld.occupancy_grid(flat, active, shape)
+    labels_grid, rank_grid, cluster_count = _label_grid_machinery(occ, shape)
+    n_cells = labels_grid.shape[0]
+    lbl_p = labels_grid[flat]
+    rank_p = rank_grid[jnp.clip(lbl_p, 0, n_cells - 1)]
+    return rank_p, cluster_count
+
+
+def _ranks_sorted_path(sb, shape):
+    """Per-particle cluster ranks from the pre-sorted bin structure
+    (round 3): partition the <= MAX_UNIQUE_BINS unique bins to the front,
+    scatter only those into the occupancy grid, gather label->rank for
+    those only, broadcast back to particles through the tiny table (one-hot
+    MXU), restore draw order with a second sort. All M-sized steps are
+    sorts/scans/matmuls — no M-sized scatter or gather. ~0.9 ms at 50k vs
+    ~2 ms for the grid path (benchmarks/micro_sort_core.py)."""
+    gx, gy, ga = shape
+    n_cells = gx * gy * ga
+    u = MAX_UNIQUE_BINS
+    ks, idx_s, act_s, segstart = sb
+    segid = jnp.cumsum(segstart.astype(jnp.int32)) - 1  # -1 before 1st seg
+    # partition: unique keys to the front, in first-seen (ascending) order
+    pk = jnp.where(segstart, 0, 1).astype(jnp.int32)
+    _, ks_c = jax.lax.sort((pk, ks), num_keys=1, is_stable=True)
+    # entries past the unique count are duplicates of occupied bins (or the
+    # BIG inactive sentinel, dropped): re-setting True is harmless
+    occ = jnp.zeros((n_cells,), bool).at[ks_c[:u]].set(True, mode="drop")
+    labels_grid, rank_grid, cluster_count = _label_grid_machinery(occ, shape)
+    uk = jnp.clip(ks_c[:u], 0, n_cells - 1)
+    lab_u = labels_grid[uk]
+    rank_u = rank_grid[jnp.clip(lab_u, 0, n_cells - 1)]
+    # per-particle (sorted order) rank via the tiny table, then restore
+    from badger_amcl_tpu.ops import mxu_gather
+
+    rank_s = mxu_gather.broadcast_small(
+        rank_u.astype(jnp.float32), jnp.clip(segid, 0, u - 1)
+    ).astype(jnp.int32)
+    _, rank_d = jax.lax.sort((idx_s, rank_s), num_keys=1, is_stable=True)
+    return rank_d, cluster_count
+
+
 def compute_cluster_stats(poses, weights, active, params) -> ClusterStats:
     """Full computeClusterStatsForSet (particle_filter.cpp:505-636):
     cluster the histogram, then accumulate per-cluster and whole-set
@@ -82,21 +146,20 @@ def compute_cluster_stats(poses, weights, active, params) -> ClusterStats:
     m = poses.shape[0]
     shape = params.hist_shape
     _, flat = kld.grid_cells(kld.bin_keys(poses), active, shape)
-    occ = kld.occupancy_grid(flat, active, shape)
-    labels_grid = _cluster_grid(occ, shape)
 
-    # dense re-ranking: root cells (label == own index) get consecutive ids
-    n_cells = labels_grid.shape[0]
-    cell_idx = jnp.arange(n_cells, dtype=jnp.int32)
-    is_root = occ & (labels_grid == cell_idx)
-    rank_grid = jnp.cumsum(is_root.astype(jnp.int32)) - 1  # rank at root cells
-    cluster_count = jnp.sum(is_root).astype(jnp.int32)
-    # per-PARTICLE rank resolution: gather each particle's cell label, then
-    # the label root's rank — two M-sized gathers. (Resolving rank per grid
-    # cell first would gather over every cell: ~13x more elements and ~5 ms
-    # at the default 128x128x40 grid.)
-    lbl_p = labels_grid[flat]
-    rank_p = rank_grid[jnp.clip(lbl_p, 0, n_cells - 1)]
+    if params.stats_max_clusters:
+        # fleet path (vmapped): sorts lower poorly under vmap, and a
+        # lax.cond would run BOTH branches — stay on the grid gathers
+        rank_p, cluster_count = _ranks_grid_path(flat, active, shape)
+    else:
+        sb = kld.sort_by_bin(flat, active)
+        u_count = jnp.sum(sb[3]).astype(jnp.int32)
+        rank_p, cluster_count = jax.lax.cond(
+            u_count <= MAX_UNIQUE_BINS,
+            lambda _: _ranks_sorted_path(sb, shape),
+            lambda _: _ranks_grid_path(flat, active, shape),
+            operand=None,
+        )
 
     pc = jnp.where(active, rank_p, m - 1).astype(jnp.int32)
     pc = jnp.clip(pc, 0, m - 1)

@@ -227,7 +227,11 @@ def _resample_multinomial(
     # Stop index: first n (1-based) with n > resampleLimit(bins among first n)
     ones = jnp.ones((m,), bool)
     _, flat = kld.grid_cells(kld.bin_keys(new_poses), ones, params.hist_shape)
-    is_new = kld.first_occurrence_flags(flat, ones, params.hist_shape)
+    if params.stats_max_clusters:
+        # fleet path: grid scatter-min (sorts lower poorly under vmap)
+        is_new = kld.first_occurrence_flags(flat, ones, params.hist_shape)
+    else:
+        is_new = kld.first_occurrence_flags_sorted(flat, ones)
     k_n = jnp.cumsum(is_new.astype(jnp.int32))
     limit_n = kld.resample_limit(
         k_n, params.min_samples, params.max_samples, params.pop_err, params.pop_z
@@ -245,7 +249,11 @@ def _resample_systematic(
     *previous* set's leaf count, inflated by w_diff for random injection,
     low-variance comb over the cumulative weights for the rest."""
     m = params.max_samples
-    k_old = kld.leaf_count(state.poses, state.active_mask, params.hist_shape)
+    if params.stats_max_clusters:
+        k_old = kld.leaf_count(state.poses, state.active_mask, params.hist_shape)
+    else:
+        k_old = kld.leaf_count_sorted(
+            state.poses, state.active_mask, params.hist_shape)
     base_count = kld.resample_limit(
         k_old, params.min_samples, params.max_samples, params.pop_err, params.pop_z
     )

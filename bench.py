@@ -44,13 +44,21 @@ def main():
     backend = args.backend or mcl.default_backend()
 
     def timed_chain(step_fn, state, iters):
-        s = step_fn(state)
-        jax.block_until_ready(s)
-        s = step_fn(s)
+        """Device time per call: the whole chain runs inside ONE jit'd
+        fori_loop (each fn is state -> state, so the data dependency defeats
+        loop-invariant hoisting). A top-level python loop instead measures
+        the host's ~2-4 ms/call dispatch through the tunnel, not the chip
+        (CLAUDE.md timing rules); production hosts issue steps back-to-back
+        with sub-0.1 ms dispatch, so the chained number is the honest one."""
+
+        @jax.jit
+        def chain_loop(s):
+            return jax.lax.fori_loop(0, iters, lambda i, t: step_fn(t), s)
+
+        s = chain_loop(state)
         jax.block_until_ready(s)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            s = step_fn(s)
+        s = chain_loop(s)
         jax.block_until_ready(s)
         return (time.perf_counter() - t0) / iters, s
 

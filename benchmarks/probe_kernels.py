@@ -123,6 +123,11 @@ def probe_mxu_gather():
     # of the operands would show up at ~1e-3
     probe("mxu.segment_sums_small", got, want, 1e-5)
 
+    table = (1.0 + rng.integers(0, 1000, (300,)) * 2.0 ** -20).astype(np.float32)
+    qids = rng.integers(0, 300, 900).astype(np.int32)
+    got = mxu_gather.broadcast_small(jnp.asarray(table), jnp.asarray(qids))
+    probe("mxu.broadcast_small", got, table[qids], 0.0)
+
     win = (rng.integers(0, 4000, (32, 128)) * 2.0 ** -20 + 1.0).astype(np.float32)
     rows = rng.integers(0, 32, 500).astype(np.int32)
     cols = rng.integers(0, 128, 500).astype(np.int32)

@@ -63,7 +63,8 @@ def main():
     cfg = load_config(os.path.join(os.path.dirname(__file__), "amcl_3d.yaml"))
     cfg = cfg.replace(max_particles=2000, min_particles=300,
                       update_min_d=0.05, update_min_a=0.05)
-    sim = Sim3D(pts, res, start_pose=(3.0, 3.0, 0.5), n_points=256)
+    sim = Sim3D(pts, res, start_pose=(3.0, 3.0, 0.5), n_points=256,
+                base_frame=cfg.base_frame_id)
     node = make_node(cfg, tf_buffer=sim.tf)
     node.init_pose = sim.true_pose.copy()
     node.init_cov = np.array([0.2, 0.2, 0.05])

@@ -139,3 +139,62 @@ def test_cluster_stats_weighted_moments():
     # circular variance of the set: -2 log |sum w e^{i theta}|
     r = abs(0.8 * np.exp(0j) + 0.2 * np.exp(1j))
     np.testing.assert_allclose(np.asarray(stats.cov)[2, 2], -2 * np.log(r), rtol=1e-4)
+
+
+# ---------------------------------------------------------------- round 3:
+# sorted filter-core vs grid scatter/gather equivalence
+
+
+@pytest.mark.parametrize("seed,n,spread", [(0, 700, 0.4), (1, 900, 3.0),
+                                           (2, 256, 0.05)])
+def test_sorted_paths_match_grid_paths(seed, n, spread):
+    """The stable-sort formulations (first-occurrence, leaf count, cluster
+    ranks) must agree exactly with the grid scatter/gather formulations on
+    random clouds with inactive tails."""
+    import jax
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    poses = spread * jax.random.normal(k1, (n, 3))
+    n_active = int(jax.random.randint(k2, (), n // 2, n + 1))
+    active = jnp.arange(n) < n_active
+
+    _, flat = kld.grid_cells(kld.bin_keys(poses), active, HIST)
+    got = kld.first_occurrence_flags_sorted(flat, active)
+    want = kld.first_occurrence_flags(flat, active, HIST)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    assert int(kld.leaf_count_sorted(poses, active, HIST)) == int(
+        kld.leaf_count(poses, active, HIST))
+
+    w = jnp.where(active, 1.0 / n_active, 0.0)
+    p_sorted = PFParams(max_samples=n)                    # sorted+cond path
+    p_grid = PFParams(max_samples=n, stats_max_clusters=n)  # grid path, no cap
+    st_s = compute_cluster_stats(poses, w, active, p_sorted)
+    st_g = compute_cluster_stats(poses, w, active, p_grid)
+    assert int(st_s.cluster_count) == int(st_g.cluster_count)
+    np.testing.assert_array_equal(np.asarray(st_s.particle_cluster),
+                                  np.asarray(st_g.particle_cluster))
+    np.testing.assert_allclose(np.asarray(st_s.cluster_weights),
+                               np.asarray(st_g.cluster_weights), atol=1e-6)
+
+
+def test_sorted_path_fallback_beyond_unique_cap(monkeypatch):
+    """Clouds with more unique bins than MAX_UNIQUE_BINS must take the grid
+    branch and still produce identical results."""
+    import jax
+
+    from badger_amcl_tpu.pf import cluster as cl
+
+    monkeypatch.setattr(cl, "MAX_UNIQUE_BINS", 16)
+    n = 400
+    key = jax.random.PRNGKey(7)
+    poses = 8.0 * jax.random.normal(key, (n, 3))  # >> 16 unique bins
+    active = jnp.ones((n,), bool)
+    w = jnp.full((n,), 1.0 / n)
+    st_s = compute_cluster_stats(poses, w, active, PFParams(max_samples=n))
+    st_g = compute_cluster_stats(
+        poses, w, active, PFParams(max_samples=n, stats_max_clusters=n))
+    assert int(st_s.cluster_count) == int(st_g.cluster_count)
+    np.testing.assert_array_equal(np.asarray(st_s.particle_cluster),
+                                  np.asarray(st_g.particle_cluster))
