@@ -1,45 +1,50 @@
-"""Pallas TPU kernel: sorted-tile windowed gather for SPREAD particle clouds.
+"""Pallas TPU kernel: yaw-binned sorted-tile windowed gather for SPREAD
+particle clouds.
 
-Global localization is exactly when the cloud covers the whole map, so
-neither the stencil-correlation lattice (needs shared windows) nor the
-per-beam windowed kernel (needs a converged cloud) applies, and the XLA
-fallback pays ~7.8 ns per random texture gather — 280 ms at 50k x 720.
+Global localization is exactly when the cloud covers a wide area with wide
+yaw, so neither the stencil-correlation lattice (needs shared windows) nor
+the per-beam windowed kernel (needs a converged cloud) applies, and the XLA
+fallback pays ~7.8 ns per random texture gather — ~280 ms at 50k x 720.
 
-Structure exploited here: particles can be SORTED spatially (argsort is
-microseconds on TPU — the expensive primitive is the gather, not the sort).
-After sorting by a snake-ordered block raster (BLOCK_Y x BLOCK_X cells),
-every run of TILE_M consecutive particles is spatially compact, and all of
-beam b's endpoints for a tile lie inside the tile's particle bbox dilated
-by r_b (yaw is unconstrained in a spread cloud, so the reachable set is the
-full disc — the bound is analytic, no per-endpoint prepass is needed).
+Structure exploited here (round 3): particles are SORTED by
+(yaw bin, snake-ordered spatial block) — argsort is microseconds on TPU;
+the expensive primitive is the gather, not the sort. A run of TILE_M
+consecutive particles is then compact in (theta, x, y), so for a group of
+GRP consecutive beams (adjacent angles in any real scan) the endpoints
+  e = p + r_b * u(theta_p + a_b)
+span only  tile_bbox + r * dtheta_tile + r * GRP*da  cells — a small arc
+patch instead of the full radius-r annulus the round-2 spatial-only sort
+produced. That shrinks the windows (the per-endpoint MXU cost is the window
+AREA) and extends coverage to uncapped 8 m beams.
 
-Two kernels cover the density spectrum, chosen PER TILE by a flag pass:
+Per (tile, beam-group) the prepass computes the EXACT endpoint bbox and
+assigns a tier:
 
-- narrow/batched (dense tiles — most of a fresh global-localization burst):
-  one (ROWS_N x COLS_N) window covers every beam of the tile; beams are
-  processed 8 per step against the resident window with a single
-  (ROWS_N, COLS_N) @ (COLS_N, 8*TILE_M) int8 MXU contraction, amortizing
-  loop and pipeline overhead 8x.
-- standard (sparse tail tiles): per-(tile, beam) windows (ROWS x COLS),
-  one matmul per beam.
+- tier 0: a (ROWS0 x COLS0) = (128 x 256) window fits — the dense bulk of a
+  localized spread cloud. ~2.6x cheaper per endpoint than round 2's std arm.
+- tier 1: a (ROWS1 x COLS1) = (224 x 384) window fits — sparse/straggler
+  tiles, range-discontinuity groups (doorways), low-density yaw bins.
+- tier 2 (escape): neither fits. Those pairs are evaluated EXACTLY (same
+  int8 quantization) by a capacity-bounded XLA gather (CAP_PAIRS pairs,
+  gated behind a lax.cond so the zero-escape common case pays nothing) and
+  merged additively into the per-particle beam-term sums. Only when the
+  escape overflows does the WHOLE call fall back — the round-2 design fell
+  back whenever jnp.all(fits) failed, which a handful of injected uniform
+  stragglers triggered every time (measured 284 ms/step on evolved
+  global-loc states vs ~10 ms here).
 
-Both passes share the grid and skip each other's tiles (pl.when); their
-outputs merge by the flag. The per-endpoint cell extraction is the one-hot
-MXU trick: column one-hot int8 matmul -> int32, then a row-mask reduce —
-the "gather" becomes dense int8 MXU work.
+Both tiers run in ONE kernel (pl.when-gated per group), GRP = 8 beams per
+(ROWS x COLS) @ (COLS, GRP*TILE_M) int8 MXU contraction; the per-endpoint
+cell extraction is the one-hot MXU trick: column one-hot int8 matmul ->
+int32, then a row-mask reduce — the "gather" becomes dense int8 MXU work.
 
 Exactness contract: distances are quantized to max_distance/127 (the 2D
 twin of the 3D path's uint8 ratio contract, octomap.cpp:328-332) — ~16 mm
-at the default 2 m cap, an order below sigma_hit; everything else is exact.
-Output is returned in SORTED particle order (B, M); reductions over beams
-are order-invariant, so callers reduce first and un-permute the final (M,)
-vector.
-
-Envelope (checked exactly in the prepass, conservative disc bounds): every
-tile must satisfy tile_span + 2*r <= usable window span for one of the two
-shapes. At the flagship density (50k particles on a 1024^2-cell map) that
-admits beams up to ~56 cells (2.8 m at 5 cm); thinner clouds, longer beams,
-or maps over the VMEM budget fall back to the XLA gather.
+at the default 2 m cap, an order below sigma_hit; everything else is exact,
+including the escape path. Off-map endpoints read max_distance
+(occupancy_map.cpp:90-98 out-of-bounds convention). Output is in SORTED
+particle order; beam reductions are order-invariant, so callers reduce
+first and un-permute the final (M,) vector with `unsort`.
 """
 
 from __future__ import annotations
@@ -52,21 +57,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_M = 128  # particles per sorted tile (lane blocks)
-GRP = 8  # beams per matmul in the batched kernel
-# Window shapes (rows x cols): per-endpoint cost scales with ROWS*COLS on
-# the MXU and ROWS+COLS on the VPU.
-ROWS = 224  # int8 VMEM tiling is (32, 128) -> row origins align to 32
-COLS = 384  # col origins align down to 128 -> usable span COLS-127
-ROWS_N = 160
-COLS_N = 256
-# Sort blocks (snake raster): flat blocks balance the straddle constraints —
-# a tile spanning 2 in-row blocks needs 2*BLOCK_X + 2r to fit a window's
-# usable cols, and a tile wrapping to the next (vertically adjacent, thanks
-# to the boustrophedon order) block row needs 2*BLOCK_Y + 2r usable rows.
+GRP = 8  # beams per matmul group
+# Window tiers (rows x cols): per-endpoint MXU cost scales with ROWS*COLS.
+# int8 VMEM tiling is (32, 128): row origins align down to 32 (usable span
+# ROWS-31), col origins to 128 (usable span COLS-127).
+ROWS0 = 128
+COLS0 = 256
+ROWS1 = 224
+COLS1 = 384
+# Yaw-primary sort: 32 bins x snake-raster spatial blocks. More bins
+# tighten r*dtheta on long beams but fragment the spatial compactness of
+# each bin's tiles; 32 puts r*dtheta at ~31 cells for uncapped 8 m beams
+# on a 5 cm map, comfortably inside the tier-0 window.
+NYAW = 32
 BLOCK_X = 64
 BLOCK_Y = 40
 QLEVELS = 127.0  # int8 quantization levels for the distance texture
 MAX_TEX_CELLS = 4 * 1024 * 1024  # int8 texture VMEM budget (bytes == cells)
+# Escape capacity: (tile, group) pairs the XLA arm absorbs before the call
+# falls back entirely. Two lax.cond-gated capacity tiers so the common
+# cases pay nothing: 0 pairs -> no gather at all; <= CAP_PAIRS (524k exact
+# gathers, ~4 ms) for a sprinkling of straggler tiles; <= CAP_PAIRS_MAX
+# (~16 ms) for evolved global-loc states where random-pose injection builds
+# a whole sparse sub-population (node.cpp:847-868 recovery regime).
+CAP_PAIRS = 512
+CAP_PAIRS_MAX = 2048
+# Density classes (primary sort key): per (yaw bin, block) particle counts
+# bucket particles into coarse density classes so sparse stragglers sort
+# into their OWN tiles instead of interleaving into dense ones (a single
+# far-flung particle would otherwise blow its host tile's endpoint bbox
+# and send every one of the tile's groups to the escape arm).
+CLASS_EDGES = (128, 32, 8)  # count >= edge -> class 0/1/2, below all -> 3
+_TWO_PI = 6.283185307179586
 
 
 def _cells(px, py, geom):
@@ -78,146 +100,147 @@ def _cells(px, py, geom):
     return ci, cj, valid
 
 
-def _kernel_std(
-    ranges_ref,  # (B,) f32  (scalar prefetch, SMEM)
-    angles_ref,  # (B,) f32
-    flags_ref,  # (n_tiles,) int32 — 1 where the tile runs the batched pass
-    org_ref,  # (8, B) int32 packed (row0 << 16) | col0, 8-tile SMEM block
-    tex_ref,  # (H, W) int8 full texture (VMEM)
-    px_ref,  # (1, TILE_M) f32 sorted particle x
-    py_ref,
-    pth_ref,
-    out_ref,  # (B, TILE_M) f32 quantized distance (meters)
-    *,
-    n_beams: int,
-    geom: tuple,
-):
-    max_dist = geom[-1]
-    px = px_ref[:]
-    py = py_ref[:]
-    pth = pth_ref[:]
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (COLS, TILE_M), 0)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ROWS, TILE_M), 0)
-    scale = max_dist / QLEVELS
-    tid = pl.program_id(0)
-    tile8 = tid % 8
-
-    def body(b, _):
-        packed = org_ref[tile8, b]
-        r0 = jax.lax.shift_right_arithmetic(packed, 16)
-        c0 = packed & 0xFFFF
-        th = pth + angles_ref[b]
-        r = ranges_ref[b]
-        ci, cj, valid = _cells(px + r * jnp.cos(th), py + r * jnp.sin(th), geom)
-        lr = jnp.clip(cj - r0, 0, ROWS - 1)
-        lc = jnp.clip(ci - c0, 0, COLS - 1)
-        window = tex_ref[pl.ds(pl.multiple_of(r0, 32), ROWS),
-                         pl.ds(pl.multiple_of(c0, 128), COLS)]
-        colhot = (col_iota == lc).astype(jnp.int8)
-        picked = jax.lax.dot_general(
-            window, colhot, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        z = jnp.sum(
-            jnp.where(row_iota == lr, picked, 0), axis=0, keepdims=True
-        ).astype(jnp.float32) * scale
-        out_ref[pl.ds(b, 1), :] = jnp.where(valid, z, max_dist)
-        return 0
-
-    @pl.when(flags_ref[tid] == 0)
-    def _():
-        jax.lax.fori_loop(0, n_beams, body, 0, unroll=False)
-
-
-def _kernel_batched(
-    flags_ref,  # (n_tiles,) int32  (scalar prefetch)
-    org_ref,  # (8, 1) int32 packed per-TILE origin
-    tex_ref,  # (H, W) int8
-    rrep_ref,  # (n_groups, 1, GRP*TILE_M) f32 — ranges, each repeated TILE_M
-    arep_ref,  # (n_groups, 1, GRP*TILE_M) f32 — angles likewise
-    px_ref,  # (1, TILE_M)
-    py_ref,
-    pth_ref,
-    out_ref,  # (B_pad, TILE_M)
-    *,
-    n_groups: int,
-    geom: tuple,
-):
-    max_dist = geom[-1]
-    wide = GRP * TILE_M
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (COLS_N, wide), 0)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ROWS_N, wide), 0)
-    scale = max_dist / QLEVELS
-    tid = pl.program_id(0)
-    tile8 = tid % 8
-
-    @pl.when(flags_ref[tid] == 1)
-    def _():
-        packed = org_ref[tile8, 0]
-        r0 = jax.lax.shift_right_arithmetic(packed, 16)
-        c0 = packed & 0xFFFF
-        window = tex_ref[pl.ds(pl.multiple_of(r0, 32), ROWS_N),
-                         pl.ds(pl.multiple_of(c0, 128), COLS_N)]
-        px8 = jnp.concatenate([px_ref[:]] * GRP, axis=1)  # (1, wide)
-        py8 = jnp.concatenate([py_ref[:]] * GRP, axis=1)
-        pth8 = jnp.concatenate([pth_ref[:]] * GRP, axis=1)
-
-        def body(g, _):
-            r = rrep_ref[g]  # (1, wide)
-            a = arep_ref[g]
-            th = pth8 + a
-            ci, cj, valid = _cells(
-                px8 + r * jnp.cos(th), py8 + r * jnp.sin(th), geom
-            )
-            lr = jnp.clip(cj - r0, 0, ROWS_N - 1)
-            lc = jnp.clip(ci - c0, 0, COLS_N - 1)
-            colhot = (col_iota == lc).astype(jnp.int8)  # (COLS_N, wide)
-            picked = jax.lax.dot_general(
-                window, colhot, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # (ROWS_N, wide)
-            z = jnp.sum(
-                jnp.where(row_iota == lr, picked, 0), axis=0, keepdims=True
-            ).astype(jnp.float32) * scale
-            z = jnp.where(valid, z, max_dist)
-            for k in range(GRP):
-                out_ref[pl.ds(g * GRP + k, 1), :] = (
-                    z[:, k * TILE_M:(k + 1) * TILE_M]
-                )
-            return 0
-
-        jax.lax.fori_loop(0, n_groups, body, 0, unroll=False)
+def _geom(omap):
+    return (
+        float(omap.resolution), omap.size_x // 2, omap.size_y // 2,
+        float(omap.origin_x), float(omap.origin_y), omap.size_x, omap.size_y,
+        float(omap.max_distance_to_object),
+    )
 
 
 def tex_fits(omap) -> bool:
     """Static check: int8 texture within VMEM budget and window-sized."""
     return (
         omap.size_x * omap.size_y <= MAX_TEX_CELLS
-        and omap.size_y >= ROWS
-        and omap.size_x >= COLS
+        and omap.size_y >= ROWS1
+        and omap.size_x >= COLS1
     )
 
 
+def quantized_tex(omap) -> jnp.ndarray:
+    """The int8 ratio-quantized distance texture both arms read."""
+    return jnp.round(
+        omap.distances * (QLEVELS / omap.max_distance_to_object)
+    ).astype(jnp.int8)
+
+
+def _kernel(
+    flags_ref,  # (8, G) int32 SMEM block — tier per (tile, group)
+    org0_ref,  # (8, G) int32 SMEM packed (row0 << 16) | col0, tier 0
+    org1_ref,  # (8, G) int32 SMEM, tier 1
+    tex_ref,  # (H, W) int8 full texture (VMEM)
+    rrep_ref,  # (G, 1, GRP*TILE_M) f32 — ranges, each repeated TILE_M
+    arep_ref,  # (G, 1, GRP*TILE_M) f32 — angles likewise
+    px_ref,  # (1, TILE_M) f32 sorted particle x
+    py_ref,
+    pth_ref,
+    out_ref,  # (B_pad, TILE_M) f32 quantized distance (meters)
+    *,
+    n_groups: int,
+    geom: tuple,
+):
+    max_dist = geom[-1]
+    wide = GRP * TILE_M
+    scale = max_dist / QLEVELS
+    tile8 = pl.program_id(0) % 8
+    px8 = jnp.concatenate([px_ref[:]] * GRP, axis=1)  # (1, wide)
+    py8 = jnp.concatenate([py_ref[:]] * GRP, axis=1)
+    pth8 = jnp.concatenate([pth_ref[:]] * GRP, axis=1)
+    col_iota0 = jax.lax.broadcasted_iota(jnp.int32, (COLS0, wide), 0)
+    row_iota0 = jax.lax.broadcasted_iota(jnp.int32, (ROWS0, wide), 0)
+    col_iota1 = jax.lax.broadcasted_iota(jnp.int32, (COLS1, wide), 0)
+    row_iota1 = jax.lax.broadcasted_iota(jnp.int32, (ROWS1, wide), 0)
+
+    def body(g, _):
+        r = rrep_ref[g]  # (1, wide)
+        a = arep_ref[g]
+        th = pth8 + a
+        ci, cj, inmap = _cells(
+            px8 + r * jnp.cos(th), py8 + r * jnp.sin(th), geom
+        )
+        fl = flags_ref[tile8, g]
+
+        def emit(z):
+            z = jnp.where(inmap, z, max_dist)
+            for k in range(GRP):
+                out_ref[pl.ds(g * GRP + k, 1), :] = (
+                    z[:, k * TILE_M:(k + 1) * TILE_M]
+                )
+
+        def pick(packed, rows, cols, col_iota, row_iota):
+            r0 = jax.lax.shift_right_arithmetic(packed, 16)
+            c0 = packed & 0xFFFF
+            window = tex_ref[pl.ds(pl.multiple_of(r0, 32), rows),
+                             pl.ds(pl.multiple_of(c0, 128), cols)]
+            lr = jnp.clip(cj - r0, 0, rows - 1)
+            lc = jnp.clip(ci - c0, 0, cols - 1)
+            colhot = (col_iota == lc).astype(jnp.int8)  # (cols, wide)
+            picked = jax.lax.dot_general(
+                window, colhot, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (rows, wide)
+            return jnp.sum(
+                jnp.where(row_iota == lr, picked, 0), axis=0, keepdims=True
+            ).astype(jnp.float32) * scale
+
+        @pl.when(fl == 0)
+        def _():
+            emit(pick(org0_ref[tile8, g], ROWS0, COLS0, col_iota0, row_iota0))
+
+        @pl.when(fl == 1)
+        def _():
+            emit(pick(org1_ref[tile8, g], ROWS1, COLS1, col_iota1, row_iota1))
+
+        # fl == 2: escape pair — out rows stay garbage; callers mask with
+        # the `covered` flags and add the escape arm's exact sums instead.
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, body, 0, unroll=False)
+
+
 def spread_prepass(omap, spose, ranges, angles, valid):
-    """Sort particles into snake-raster blocks and bound every tile's
-    endpoint windows EXACTLY from the per-(tile, beam) endpoint bboxes.
-    The (B, M) pass carries no transcendentals: endpoint = pose + r*(cos a'
-    cos t - sin a' sin t, ...) uses the angle-addition identity on
-    per-particle cos/sin and per-beam cos/sin — outer-product mults only."""
+    """Sort particles by (yaw bin, snake spatial block) and tier every
+    (tile, beam-group) pair from its EXACT endpoint bbox.
+
+    The (B, Mp) endpoint pass carries no transcendentals: endpoint =
+    pose + r*(cos a cos t - sin a sin t, ...) uses the angle-addition
+    identity on per-particle cos/sin and per-beam cos/sin — outer-product
+    mults only. Bboxes are dilated by 1 cell so a 1-ulp disagreement with
+    the kernel's direct cos(theta + a) evaluation cannot push an endpoint
+    past the checked window edge."""
     m = spose.shape[0]
     m_pad = -(-m // TILE_M) * TILE_M
     n_tiles = m_pad // TILE_M
+    b = ranges.shape[0]
+    b_pad = -(-b // GRP) * GRP
+    g_groups = b_pad // GRP
 
+    # ---- yaw-primary snake sort ------------------------------------------
     ij = omap.world_to_map(spose[:, :2])
     ci = jnp.clip(ij[..., 0], 0, omap.size_x - 1)
     cj = jnp.clip(ij[..., 1], 0, omap.size_y - 1)
     nbx = -(-omap.size_x // BLOCK_X)
+    nby = -(-omap.size_y // BLOCK_Y)
     bx = ci // BLOCK_X
     by = cj // BLOCK_Y
     # boustrophedon: consecutive blocks stay spatially adjacent at row wraps
     bx_snake = jnp.where(by % 2 == 0, bx, nbx - 1 - bx)
-    key = by * nbx + bx_snake
-    perm = jnp.argsort(key).astype(jnp.int32)
+    # reference yaw is unnormalized (particle_filter.cpp never wraps it);
+    # binning by mod 2*pi only affects the sort quality, never the values
+    yb = jnp.floor(
+        jnp.mod(spose[:, 2], _TWO_PI) * (NYAW / _TWO_PI)
+    ).astype(jnp.int32)
+    yb = jnp.clip(yb, 0, NYAW - 1)
+    nb = nbx * nby
+    bin_block = yb * nb + by * nbx + bx_snake
+    counts = jnp.zeros((NYAW * nb,), jnp.int32).at[bin_block].add(1)
+    cnt = counts[bin_block]
+    klass = jnp.full((m,), len(CLASS_EDGES), jnp.int32)
+    for c, edge in enumerate(CLASS_EDGES):
+        klass = jnp.where(cnt >= edge, jnp.minimum(klass, c), klass)
+    key = klass * (NYAW * nb) + bin_block
+    idx = jnp.arange(m, dtype=jnp.int32)
+    _, perm = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
 
     spose_s = jnp.take(spose, perm, axis=0)
     if m_pad != m:
@@ -226,7 +249,7 @@ def spread_prepass(omap, spose, ranges, angles, valid):
             [spose_s, jnp.tile(spose_s[-1:], (m_pad - m, 1))], axis=0
         )
 
-    # exact (B, Mp) endpoint cells via the angle-addition identity
+    # ---- exact (B, Mp) endpoint cells via the angle-addition identity ----
     ct, st = jnp.cos(spose_s[:, 2]), jnp.sin(spose_s[:, 2])  # (Mp,)
     ca, sa = jnp.cos(angles), jnp.sin(angles)  # (B,)
     r = ranges.astype(jnp.float32)
@@ -237,116 +260,70 @@ def spread_prepass(omap, spose, ranges, angles, valid):
     geom = _geom(omap)
     eci, ecj, inmap = _cells(hx, hy, geom)
     big = jnp.int32(1 << 30)
-    shape3 = (-1, n_tiles, TILE_M)
-    ci_min = jnp.min(jnp.where(inmap, eci, big).reshape(shape3), axis=2)
-    cj_min = jnp.min(jnp.where(inmap, ecj, big).reshape(shape3), axis=2)
-    ci_max = jnp.max(jnp.where(inmap, eci, -big).reshape(shape3), axis=2)
-    cj_max = jnp.max(jnp.where(inmap, ecj, -big).reshape(shape3), axis=2)
-    skip = (ci_min == big) | ~valid[:, None]  # (B, n_tiles)
+    use = inmap & valid[:, None]  # only in-map endpoints of valid beams
+    eci_lo = jnp.where(use, eci, big)
+    ecj_lo = jnp.where(use, ecj, big)
+    eci_hi = jnp.where(use, eci, -big)
+    ecj_hi = jnp.where(use, ecj, -big)
+    if b_pad != b:
+        pad = ((0, b_pad - b), (0, 0))
+        eci_lo = jnp.pad(eci_lo, pad, constant_values=big)
+        ecj_lo = jnp.pad(ecj_lo, pad, constant_values=big)
+        eci_hi = jnp.pad(eci_hi, pad, constant_values=-big)
+        ecj_hi = jnp.pad(ecj_hi, pad, constant_values=-big)
+
+    # per-(group, tile) bboxes, dilated by the 1-cell ulp margin
+    shape4 = (g_groups, GRP, n_tiles, TILE_M)
+    ci_min = jnp.min(eci_lo.reshape(shape4), axis=(1, 3)) - 1
+    cj_min = jnp.min(ecj_lo.reshape(shape4), axis=(1, 3)) - 1
+    ci_max = jnp.max(eci_hi.reshape(shape4), axis=(1, 3)) + 1
+    cj_max = jnp.max(ecj_hi.reshape(shape4), axis=(1, 3)) + 1
+    empty = ci_min >= big - 1  # (G, n_tiles): no usable endpoint in the pair
+
+    def tier_fit(rows, cols):
+        """Packed (clipped + aligned) origins, then the fit predicates
+        evaluated against those SAME origins (the window the kernel actually
+        loads): near the bottom/right map edge the clip moves the origin
+        up/left, so testing the raw mins would pass endpoints that fall past
+        the real window's end."""
+        row0 = jnp.clip(jnp.where(empty, 0, cj_min), 0, omap.size_y - rows) & ~31
+        col0 = jnp.clip(jnp.where(empty, 0, ci_min), 0, omap.size_x - cols) & ~127
+        fit = empty | (
+            (cj_min >= row0) & ((cj_max - row0) < rows)
+            & (ci_min >= col0) & ((ci_max - col0) < cols)
+        )
+        return fit, (jnp.left_shift(row0, 16) | col0).astype(jnp.int32)
+
+    fit0, org0 = tier_fit(ROWS0, COLS0)
+    if not (omap.size_y >= ROWS0 and omap.size_x >= COLS0):
+        fit0 = jnp.zeros_like(fit0)
+    fit1, org1 = tier_fit(ROWS1, COLS1)
+    flags = jnp.where(fit0, 0, jnp.where(fit1, 1, 2)).astype(jnp.int32)
+    n_escape = jnp.sum(flags == 2).astype(jnp.int32)
+
+    # kernel SMEM blocks are (8, G) per 8-tile slab: transpose to (tiles, G)
     pad8 = (-n_tiles) % 8
+    def to_tiles(a):
+        a = jnp.transpose(a)  # (n_tiles, G)
+        return jnp.pad(a, ((0, pad8), (0, 0))) if pad8 else a
 
-    def packed_origins(row0, col0, rows, cols):
-        """Clipped + aligned window origins — the ones the kernel actually
-        loads from. Fit checks MUST test against these, not the raw mins:
-        near the bottom/right edge the clip moves the origin up/left, so an
-        endpoint that fit the unclipped origin can fall past the real
-        window's end (the in-kernel clip would then silently read a wrong
-        cell up to 31/127 away)."""
-        row0 = jnp.clip(row0, 0, omap.size_y - rows) & ~31
-        col0 = jnp.clip(col0, 0, omap.size_x - cols) & ~127
-        return row0, col0
-
-    # standard pass: per-(tile, beam) windows
-    row0_s, col0_s = packed_origins(
-        jnp.where(skip, 0, cj_min), jnp.where(skip, 0, ci_min), ROWS, COLS
-    )
-    fit_s = skip | (
-        (cj_min >= row0_s) & ((cj_max - row0_s) < ROWS)
-        & (ci_min >= col0_s) & ((ci_max - col0_s) < COLS)
-    )
-    tile_std = jnp.all(fit_s, axis=0)  # (n_tiles,)
-    org_std = jnp.transpose(
-        jnp.left_shift(row0_s, 16) | col0_s
-    ).astype(jnp.int32)
-    if pad8:
-        org_std = jnp.pad(org_std, ((0, pad8), (0, 0)))
-
-    # batched pass: ONE window per tile covering every beam
-    tci_min = jnp.min(jnp.where(skip, big, ci_min), axis=0)  # (n_tiles,)
-    tcj_min = jnp.min(jnp.where(skip, big, cj_min), axis=0)
-    tci_max = jnp.max(jnp.where(skip, -big, ci_max), axis=0)
-    tcj_max = jnp.max(jnp.where(skip, -big, cj_max), axis=0)
-    tile_empty = tci_min == big
-    row0_n, col0_n = packed_origins(
-        jnp.where(tile_empty, 0, tcj_min), jnp.where(tile_empty, 0, tci_min),
-        ROWS_N, COLS_N,
-    )
-    tile_nrw = tile_empty | (
-        (tcj_min >= row0_n) & ((tcj_max - row0_n) < ROWS_N)
-        & (tci_min >= col0_n) & ((tci_max - col0_n) < COLS_N)
-    )
-    if not (omap.size_y >= ROWS_N and omap.size_x >= COLS_N):
-        tile_nrw = jnp.zeros_like(tile_nrw)
-    org_nrw = (jnp.left_shift(row0_n, 16) | col0_n).astype(jnp.int32)[:, None]
-    if pad8:
-        org_nrw = jnp.pad(org_nrw, ((0, pad8), (0, 0)))
-
-    flags = tile_nrw.astype(jnp.int32)
     return {
         "perm": perm,
         "spose_s": spose_s,
-        "origins": org_std,
-        "origins_narrow": org_nrw,
-        "flags": flags,
-        "fits": jnp.all(tile_nrw | tile_std),
+        "flags": to_tiles(flags),  # (n_tiles_pad8, G) int32 tier
+        "org0": to_tiles(org0),
+        "org1": to_tiles(org1),
+        "n_escape": n_escape,
+        "fits": n_escape <= CAP_PAIRS_MAX,
         "n_tiles": n_tiles,
         "m_pad": m_pad,
+        "g_groups": g_groups,
     }
 
 
-def _geom(omap):
-    return (
-        float(omap.resolution), omap.size_x // 2, omap.size_y // 2,
-        float(omap.origin_x), float(omap.origin_y), omap.size_x, omap.size_y,
-        float(omap.max_distance_to_object),
-    )
-
-
 @functools.partial(jax.jit, static_argnames=("geom", "interpret"))
-def _std_call(geom, tex8, spose_s, ranges, angles, flags, origins,
-              interpret=False):
-    m_pad = spose_s.shape[0]
-    b = ranges.shape[0]
-    n_tiles = m_pad // TILE_M
-    px = spose_s[:, 0].reshape(1, m_pad)
-    py = spose_s[:, 1].reshape(1, m_pad)
-    pth = spose_s[:, 2].reshape(1, m_pad)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((8, b), lambda t, *_: (t // 8, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(tex8.shape, lambda t, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_M), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_M), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_M), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((b, TILE_M), lambda t, *_: (0, t),
-                               memory_space=pltpu.VMEM),
-    )
-    kern = functools.partial(_kernel_std, n_beams=b, geom=geom)
-    return pl.pallas_call(
-        kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, m_pad), jnp.float32),
-        interpret=interpret,
-    )(ranges.astype(jnp.float32), angles.astype(jnp.float32),
-      flags.astype(jnp.int32), origins, tex8, px, py, pth)
-
-
-@functools.partial(jax.jit, static_argnames=("geom", "interpret"))
-def _batched_call(geom, tex8, spose_s, ranges, angles, flags, origins,
-                  interpret=False):
+def _tiered_call(geom, tex8, spose_s, ranges, angles, flags, org0, org1,
+                 interpret=False):
     m_pad = spose_s.shape[0]
     b = ranges.shape[0]
     b_pad = -(-b // GRP) * GRP
@@ -360,51 +337,135 @@ def _batched_call(geom, tex8, spose_s, ranges, angles, flags, origins,
     rrep = jnp.repeat(rpad, TILE_M).reshape(n_groups, 1, GRP * TILE_M)
     arep = jnp.repeat(apad, TILE_M).reshape(n_groups, 1, GRP * TILE_M)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((8, 1), lambda t, *_: (t // 8, 0),
+            pl.BlockSpec((8, n_groups), lambda t: (t // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(tex8.shape, lambda t, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(rrep.shape, lambda t, *_: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(arep.shape, lambda t, *_: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_M), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_M), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_M), lambda t, *_: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_groups), lambda t: (t // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, n_groups), lambda t: (t // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(tex8.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(rrep.shape, lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(arep.shape, lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_M), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_M), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_M), lambda t: (0, t), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b_pad, TILE_M), lambda t, *_: (0, t),
+        out_specs=pl.BlockSpec((b_pad, TILE_M), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
     )
-    kern = functools.partial(_kernel_batched, n_groups=n_groups, geom=geom)
+    kern = functools.partial(_kernel, n_groups=n_groups, geom=geom)
     out = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b_pad, m_pad), jnp.float32),
         interpret=interpret,
-    )(flags.astype(jnp.int32), origins, tex8, rrep, arep, px, py, pth)
+    )(flags, org0, org1, tex8, rrep, arep, px, py, pth)
     return out[:b]
 
 
 def spread_distances_sorted(omap, spose, ranges, angles, valid, pre,
                             interpret=False):
-    """(B, m_pad) distances in SORTED particle order.
+    """Kernel-covered (B, m_pad) distances in SORTED particle order, plus a
+    (B, m_pad) `covered` mask (False on escape pairs — those columns hold
+    garbage and must be taken from the escape arm; see spread_term_sums).
 
     Callers reduce over beams first (order-invariant) and un-permute the
     final per-particle vector with `unsort(values_sorted, pre)`."""
     geom = _geom(omap)
-    tex8 = jnp.round(
-        omap.distances * (QLEVELS / omap.max_distance_to_object)
-    ).astype(jnp.int8)
-    flags = pre["flags"]
-    out_n = _batched_call(
-        geom, tex8, pre["spose_s"], ranges, angles, flags,
-        pre["origins_narrow"], interpret=interpret,
+    tex8 = quantized_tex(omap)
+    zt = _tiered_call(
+        geom, tex8, pre["spose_s"], ranges, angles,
+        pre["flags"], pre["org0"], pre["org1"], interpret=interpret,
     )
-    out_s = _std_call(
-        geom, tex8, pre["spose_s"], ranges, angles, flags, pre["origins"],
-        interpret=interpret,
+    n_tiles = pre["n_tiles"]
+    b = ranges.shape[0]
+    # (B, m_pad) coverage: tier < 2, expanded groups -> beams, tiles -> lanes
+    cov_pairs = pre["flags"][:n_tiles] < 2  # (n_tiles, G)
+    cov = jnp.repeat(
+        jnp.repeat(jnp.transpose(cov_pairs), GRP, axis=0)[:b],
+        TILE_M, axis=1,
     )
-    percol = jnp.repeat(flags[: pre["n_tiles"]], TILE_M)  # (m_pad,)
-    return jnp.where(percol[None, :] == 1, out_n, out_s)
+    return zt, cov
+
+
+def _escape_term_sums(omap, pre, ranges, angles, valid, term_fn, cap):
+    """Exact (same int8 quantization) beam-term sums for up to `cap`
+    escaped (tile, group) pairs, returned as a (m_pad,) sorted-order vector.
+
+    Compaction is the sort trick (pair ids of escaped pairs to the front);
+    the per-pair particle rows and beam slices come from ROW gathers (cost
+    is per index — the 128 lanes are free, PERF.md microbenchmarks), and
+    the final merge is a tiny row scatter-add."""
+    n_tiles = pre["n_tiles"]
+    g = pre["g_groups"]
+    flags = pre["flags"][:n_tiles]  # (n_tiles, G)
+    b = ranges.shape[0]
+    b_pad = g * GRP
+    big = jnp.int32(1 << 30)
+
+    pid = jnp.arange(n_tiles * g, dtype=jnp.int32)
+    esc_sorted = jax.lax.sort(
+        jnp.where(flags.reshape(-1) == 2, pid, big), is_stable=False
+    )
+    ids = esc_sorted[:cap]
+    pvalid = ids < n_tiles * g
+    ids = jnp.clip(ids, 0, n_tiles * g - 1)
+    pt = ids // g  # (CAP,) tile index
+    pg = ids % g  # (CAP,) group index
+
+    poses3 = pre["spose_s"].reshape(n_tiles, TILE_M, 3)
+    pp = jnp.take(poses3, pt, axis=0)  # (CAP, TILE_M, 3) row gathers
+    rpad = jnp.pad(ranges.astype(jnp.float32), (0, b_pad - b))
+    apad = jnp.pad(angles.astype(jnp.float32), (0, b_pad - b))
+    vpad = jnp.pad(valid, (0, b_pad - b))
+    rg = jnp.take(rpad.reshape(g, GRP), pg, axis=0)  # (CAP, GRP)
+    ag = jnp.take(apad.reshape(g, GRP), pg, axis=0)
+    vg = jnp.take(vpad.reshape(g, GRP), pg, axis=0)
+
+    th = pp[:, None, :, 2] + ag[:, :, None]  # (CAP, GRP, TILE_M)
+    hx = pp[:, None, :, 0] + rg[:, :, None] * jnp.cos(th)
+    hy = pp[:, None, :, 1] + rg[:, :, None] * jnp.sin(th)
+    geom = _geom(omap)
+    eci, ecj, inmap = _cells(hx, hy, geom)
+    tex8 = quantized_tex(omap).reshape(-1)
+    flat = jnp.clip(ecj, 0, omap.size_y - 1) * omap.size_x \
+        + jnp.clip(eci, 0, omap.size_x - 1)
+    maxd = jnp.float32(omap.max_distance_to_object)
+    z = jnp.where(inmap, tex8[flat].astype(jnp.float32) * (maxd / QLEVELS),
+                  maxd)
+    t = jnp.where(vg[:, :, None] & pvalid[:, None, None], term_fn(z), 0.0)
+    partial = jnp.sum(t, axis=1)  # (CAP, TILE_M)
+    out = jnp.zeros((n_tiles, TILE_M), jnp.float32).at[pt].add(partial)
+    return out.reshape(-1)
+
+
+def spread_term_sums(omap, spose, ranges, angles, valid, pre, term_fn,
+                     interpret=False):
+    """Per-particle sums of term_fn(distance) over valid beams, in SORTED
+    order (m_pad,): kernel tiers for covered pairs + the gated escape arm.
+    term_fn must be elementwise (every LF-family beam term is)."""
+    zt, cov = spread_distances_sorted(
+        omap, spose, ranges, angles, valid, pre, interpret=interpret
+    )
+    terms = jnp.where(cov & valid[:, None], term_fn(zt), 0.0)
+    sums = jnp.sum(terms, axis=0)  # (m_pad,)
+    n_esc = pre["n_escape"]
+    esc = jax.lax.cond(
+        n_esc > 0,
+        lambda _: jax.lax.cond(
+            n_esc <= CAP_PAIRS,
+            lambda __: _escape_term_sums(
+                omap, pre, ranges, angles, valid, term_fn, CAP_PAIRS),
+            lambda __: _escape_term_sums(
+                omap, pre, ranges, angles, valid, term_fn, CAP_PAIRS_MAX),
+            operand=None,
+        ),
+        lambda _: jnp.zeros_like(sums),
+        operand=None,
+    )
+    return sums + esc
 
 
 def unsort(values_sorted: jnp.ndarray, pre) -> jnp.ndarray:

@@ -242,13 +242,15 @@ def _corr_dispatch(omap, scan, spose, model, params, combine_fn,
     return jax.lax.cond(pre["fits"], fast, slow, operand=None)
 
 
-def _spread_dispatch(omap, scan, spose, reduce_fn, fallback_fn, interpret):
-    """Sorted-tile windowed path for spread clouds (global localization):
-    reduce_fn maps ((B, Mp) distances, (B,) beam validity) -> (Mp,) particle
-    likelihood in SORTED order (reductions over beams are order-invariant);
-    the result is un-permuted afterwards. Falls back when any (tile, beam)
-    window exceeds the envelope (ops/spread_kernel.py) or the texture
-    doesn't fit VMEM."""
+def _spread_dispatch(omap, scan, spose, term_fn, finalize_fn, fallback_fn,
+                     interpret):
+    """Yaw-binned sorted-tile windowed path for spread clouds (global
+    localization): term_fn maps elementwise beam distances -> per-beam
+    likelihood terms, which the kernel tiers + the bounded escape arm sum
+    per particle (beam reductions are order-invariant; the sum is
+    un-permuted before finalize_fn maps it to p). Falls back only when the
+    escape capacity overflows (deeply map-wide clouds) or the texture
+    doesn't fit VMEM (ops/spread_kernel.py)."""
     import jax
 
     from badger_amcl_tpu.ops import spread_kernel
@@ -261,11 +263,11 @@ def _spread_dispatch(omap, scan, spose, reduce_fn, fallback_fn, interpret):
     )
 
     def fast(_):
-        zt = spread_kernel.spread_distances_sorted(
-            omap, spose, scan.ranges, scan.angles, valid, pre,
+        s = spread_kernel.spread_term_sums(
+            omap, spose, scan.ranges, scan.angles, valid, pre, term_fn,
             interpret=interpret,
         )
-        return spread_kernel.unsort(reduce_fn(zt, valid), pre)
+        return finalize_fn(spread_kernel.unsort(s, pre))
 
     def slow(_):
         return fallback_fn()
@@ -275,10 +277,19 @@ def _spread_dispatch(omap, scan, spose, reduce_fn, fallback_fn, interpret):
 
 def _lf_combine(params, scan, zt, valid):
     """LF mixture + p = 1 + sum pz^3 over valid beams, zt in (B, M)."""
-    denom = 2.0 * params.sigma_hit * params.sigma_hit
-    pz = params.z_hit * jnp.exp(-(zt * zt) / denom) + params.z_rand / scan.range_max
-    pz3 = pz * pz * pz
+    pz3 = _lf_term(params, scan)(zt)
     return 1.0 + jnp.sum(jnp.where(valid[:, None], pz3, 0.0), axis=0)
+
+
+def _lf_term(params, scan):
+    """Elementwise LF beam term pz^3 (the spread path's term_fn)."""
+    def term(z):
+        denom = 2.0 * params.sigma_hit * params.sigma_hit
+        pz = params.z_hit * jnp.exp(-(z * z) / denom) \
+            + params.z_rand / scan.range_max
+        return pz * pz * pz
+
+    return term
 
 
 def _lf_model(omap, params, scan, spose, backend="xla"):
@@ -293,7 +304,8 @@ def _lf_model(omap, params, scan, spose, backend="xla"):
             lambda s, cnt: 1.0 + s,
             lambda: _spread_dispatch(
                 omap, scan, spose,
-                lambda zt, valid: _lf_combine(params, scan, zt, valid),
+                _lf_term(params, scan),
+                lambda s: 1.0 + s,
                 lambda: _lf_model(omap, params, scan, spose, fb),
                 interpret=interp,
             ),
@@ -322,10 +334,22 @@ def _lf_gompertz_model(omap, params, scan, spose, backend="xla"):
 
         interp = backend == "pallas_corr_interpret"
         fb = "pallas_interpret" if interp else "pallas"
+        valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
+        count = jnp.sum(valid)
+
+        def term(z):
+            denom = 2.0 * params.sigma_hit * params.sigma_hit
+            # NOTE z_rand added raw, no /range_max (planar_scanner.cpp:597)
+            return params.z_hit * jnp.exp(-(z * z) / denom) + params.z_rand
+
+        def finalize(s):
+            p = apply_gompertz(params, s / jnp.maximum(count, 1))
+            return jnp.where(count > 0, p, 1.0)
+
         return _corr_dispatch(
             omap, scan, spose, "likelihood_field_gompertz", params, combine,
             lambda: _spread_dispatch(
-                omap, scan, spose, combine_zt,
+                omap, scan, spose, term, finalize,
                 lambda: _lf_gompertz_model(omap, params, scan, spose, fb),
                 interpret=interp,
             ),
@@ -349,12 +373,11 @@ def _lf_prob_model(omap, params, scan, spose, active, n_active, converged, do_be
     reference's cleared temp buffers, so the error fallback reproduces its
     zero-weight collapse."""
     if backend in ("pallas_corr", "pallas_corr_interpret") and not do_beamskip:
-        def combine_zt(zt, valid):
+        def term(z):
             denom = 2.0 * params.sigma_hit * params.sigma_hit
-            pz = params.z_hit * jnp.exp(-(zt * zt) / denom) \
+            pz = params.z_hit * jnp.exp(-(z * z) / denom) \
                 + params.z_rand / scan.range_max
-            log_p = jnp.sum(jnp.where(valid[:, None], jnp.log(pz), 0.0), axis=0)
-            return jnp.exp(log_p)
+            return jnp.log(pz)
 
         interp = backend == "pallas_corr_interpret"
         fb = "pallas_interpret" if interp else "pallas"
@@ -362,7 +385,7 @@ def _lf_prob_model(omap, params, scan, spose, active, n_active, converged, do_be
             omap, scan, spose, "likelihood_field_prob", params,
             lambda s, cnt: jnp.exp(s),
             lambda: _spread_dispatch(
-                omap, scan, spose, combine_zt,
+                omap, scan, spose, term, jnp.exp,
                 lambda: _lf_prob_model(omap, params, scan, spose, active,
                                        n_active, converged, do_beamskip, fb),
                 interpret=interp,

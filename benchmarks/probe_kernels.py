@@ -234,35 +234,43 @@ def probe_corr(omap):
 def probe_spread(omap):
     key = jax.random.PRNGKey(7)
     k1, k2, k3 = jax.random.split(key, 3)
-    # dense uniform core (batched arm) + far-flung sparse stragglers
-    # (per-beam-window arm)
+    # tight dense core (tier-0 windows) + a wider shell (tier-1) + far
+    # full-yaw stragglers that must ESCAPE once beams run long
     dense = jnp.concatenate([
-        jax.random.uniform(k1, (3600, 2), minval=-4.0, maxval=4.0),
-        jax.random.uniform(k2, (3600, 1), minval=-3.14, maxval=3.14),
+        jax.random.uniform(k1, (3200, 2), minval=-1.0, maxval=1.0),
+        jax.random.uniform(k2, (3200, 1), minval=-3.14, maxval=3.14),
     ], axis=1)
-    # a sparse band off the dense core: too wide for the one-window batched
-    # arm once beam-dilated, but each (tile, beam) window still fits -> the
-    # per-beam std arm runs
-    few = jnp.concatenate([
-        jax.random.uniform(k3, (80, 1), minval=-3.0, maxval=3.0),
-        jax.random.uniform(jax.random.PRNGKey(99), (80, 1),
-                           minval=5.5, maxval=6.5),
-        jnp.zeros((80, 1)),
+    shell = jnp.concatenate([
+        jax.random.uniform(k3, (400, 2), minval=-4.0, maxval=4.0),
+        jax.random.uniform(jax.random.PRNGKey(98), (400, 1),
+                           minval=-3.14, maxval=3.14),
     ], axis=1)
-    poses = jnp.concatenate([dense, few], axis=0).astype(jnp.float32)
-    scan = scan_of(24)
+    strag = jnp.concatenate([
+        jax.random.uniform(jax.random.PRNGKey(99), (60, 2),
+                           minval=-11.0, maxval=11.0),
+        jax.random.uniform(jax.random.PRNGKey(97), (60, 1),
+                           minval=-3.14, maxval=3.14),
+    ], axis=1)
+    poses = jnp.concatenate([dense, shell, strag], axis=0).astype(jnp.float32)
+    angles = jnp.linspace(-2.2, 2.2, 24).astype(jnp.float32)
+    ranges = jnp.clip(4.0 + 2.0 * jnp.sin(angles * 5.0), 0.3, 6.5)
+    scan = PlanarScan(ranges=ranges, angles=angles, range_max=jnp.float32(8.0))
     valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
     pre = spread_kernel.spread_prepass(omap, poses, scan.ranges, scan.angles,
                                        valid)
     assert bool(pre["fits"]), "spread probe cloud must fit"
     flags = np.asarray(pre["flags"][: pre["n_tiles"]])
-    assert flags.sum() > 0, "no dense (batched) tiles exercised"
-    assert (flags == 0).sum() > 0, "no sparse (std) tiles exercised"
-    hw = spread_kernel.spread_distances_sorted(
+    assert (flags == 0).sum() > 0, "no tier-0 pairs exercised"
+    assert (flags == 1).sum() > 0, "no tier-1 pairs exercised"
+    assert (flags == 2).sum() > 0, "no escape pairs exercised"
+    hw, cov = spread_kernel.spread_distances_sorted(
         omap, poses, scan.ranges, scan.angles, valid, pre,
         interpret=INTERPRET_HW)
-    it = spread_kernel.spread_distances_sorted(
+    it, _ = spread_kernel.spread_distances_sorted(
         omap, poses, scan.ranges, scan.angles, valid, pre, interpret=True)
+    cov = np.asarray(cov)
+    hw = np.where(cov, np.asarray(hw), 0.0)
+    it = np.where(cov, np.asarray(it), 0.0)
     probe("spread.hw_vs_interpret", hw, it, 1e-5)
     # numpy reference incl. the exact int8 quantization contract
     sp = np.asarray(pre["spose_s"])
@@ -273,15 +281,27 @@ def probe_spread(omap):
     ij = np.asarray(omap.world_to_map(jnp.stack(
         [jnp.asarray(hx), jnp.asarray(hy)], axis=-1)))
     maxd = omap.max_distance_to_object
-    tex8 = np.asarray(jnp.round(
-        omap.distances * (spread_kernel.QLEVELS / maxd)).astype(jnp.int8))
+    tex8 = np.asarray(spread_kernel.quantized_tex(omap))
     ii = np.clip(ij[..., 0], 0, omap.size_x - 1)
     jj = np.clip(ij[..., 1], 0, omap.size_y - 1)
     inmap = ((ij[..., 0] >= 0) & (ij[..., 0] < omap.size_x)
              & (ij[..., 1] >= 0) & (ij[..., 1] < omap.size_y))
     want = np.where(inmap, tex8[jj, ii] * (maxd / spread_kernel.QLEVELS), maxd)
-    probe("spread.hw_vs_numpy", hw, want, 1e-5, frac_exact=0.995,
-          flip_tol=0.15)
+    probe("spread.hw_vs_numpy", hw, np.where(cov, want, 0.0), 1e-5,
+          frac_exact=0.995, flip_tol=0.15)
+    # merged kernel + escape term sums (compiled) vs the numpy reduction
+    term = lambda z: z * z
+    s_hw = spread_kernel.spread_term_sums(
+        omap, poses, scan.ranges, scan.angles, valid, pre, term,
+        interpret=INTERPRET_HW)
+    got = np.asarray(spread_kernel.unsort(jnp.asarray(s_hw), pre))
+    want_sum = np.zeros((poses.shape[0],), np.float64)
+    perm = np.asarray(pre["perm"])
+    w_sorted = (np.asarray(want, np.float64) ** 2
+                * np.asarray(valid)[:, None]).sum(0)[: poses.shape[0]]
+    want_sum[perm] = w_sorted
+    probe("spread.term_sums_vs_numpy", got, want_sum, 1e-3,
+          frac_exact=0.995, flip_tol=5.0)
 
 
 # --------------------------------------------------------------------- beam

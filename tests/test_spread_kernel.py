@@ -1,8 +1,10 @@
-"""Sorted-tile spread kernel (ops/spread_kernel.py) vs the XLA exact path.
+"""Yaw-binned sorted-tile spread kernel (ops/spread_kernel.py) vs the XLA
+exact path.
 
 Interpreter mode on CPU. Numerical contract: distances quantized to
-max_distance/127 (~16 mm at the 2 m default), everything else exact; the
-full-model comparison is estimator-level like the corr kernel's.
+max_distance/127 (~16 mm at the 2 m default) on BOTH the kernel tiers and
+the escape arm, everything else exact; the full-model comparison is
+estimator-level like the corr kernel's.
 """
 
 import numpy as np
@@ -18,7 +20,7 @@ from badger_amcl_tpu.sensors.planar import PlanarScan, PlanarScanParams, planar_
 @pytest.fixture(scope="module")
 def huge_map():
     rng = np.random.default_rng(11)
-    n = 512  # >= COLS so the spread kernel is eligible
+    n = 512  # >= COLS1 so the spread kernel is eligible
     cells = np.full((n, n), int(CellState.FREE), np.int8)
     cells[0:2, :] = cells[-2:, :] = int(CellState.OCCUPIED)
     cells[:, 0:2] = cells[:, -2:] = int(CellState.OCCUPIED)
@@ -34,14 +36,11 @@ def _scan(b=24, range_max=6.0):
     return PlanarScan(ranges=ranges, angles=angles, range_max=jnp.float32(range_max))
 
 
-def _spread_poses(n=4000, seed=3):
-    """Spread cloud at global-localization density (the kernel's regime:
-    a TILE_M run must span <= 2 sort blocks, needing ~0.04 particles/cell
-    over the covered area)."""
+def _spread_poses(n=4000, seed=3, half=4.0):
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
     return jnp.concatenate(
-        [jax.random.uniform(k1, (n, 2), minval=-4.0, maxval=4.0),
+        [jax.random.uniform(k1, (n, 2), minval=-half, maxval=half),
          jax.random.uniform(k2, (n, 1), minval=-3.14, maxval=3.14)],
         axis=1,
     ).astype(jnp.float32)
@@ -63,17 +62,59 @@ def test_spread_distances_match_xla(huge_map):
         huge_map, poses, scan.ranges, scan.angles, valid
     )
     assert bool(pre["fits"]), "spread cloud with short beams must fit"
-    zt_s = spread_kernel.spread_distances_sorted(
+    zt_s, cov = spread_kernel.spread_distances_sorted(
         huge_map, poses, scan.ranges, scan.angles, valid, pre, interpret=True
     )
-    # un-permute each beam row and compare to the exact gather
+    # un-permute each beam row and compare to the exact gather where covered
     z_xla = np.asarray(_xla_distances(huge_map, poses, scan))
     perm = np.asarray(pre["perm"])
     m = poses.shape[0]
     z_k = np.empty_like(z_xla)
     z_k[:, perm] = np.asarray(zt_s)[:, :m]
-    diff = np.abs(z_k - z_xla)
+    cov_k = np.zeros(z_xla.shape, bool)
+    cov_k[:, perm] = np.asarray(cov)[:, :m]
+    assert cov_k.mean() > 0.5, "most pairs should ride the kernel tiers"
+    diff = np.abs(z_k - z_xla)[cov_k]
     assert diff.max() < 0.012, diff.max()  # int8 ratio quantization only
+
+
+def test_spread_term_sums_with_escape(huge_map):
+    """Dense core + far-flung full-yaw stragglers with LONG beams: some
+    (tile, group) pairs must escape, and the merged kernel+escape sums must
+    still match the exact XLA reduction."""
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    dense = jnp.concatenate([
+        jax.random.uniform(k1, (3500, 2), minval=-1.5, maxval=1.5),
+        jax.random.uniform(k2, (3500, 1), minval=-3.14, maxval=3.14),
+    ], axis=1)
+    strag = jnp.concatenate([
+        jax.random.uniform(k3, (60, 2), minval=-11.0, maxval=11.0),
+        jax.random.uniform(jax.random.PRNGKey(7), (60, 1),
+                           minval=-3.14, maxval=3.14),
+    ], axis=1)
+    poses = jnp.concatenate([dense, strag], axis=0).astype(jnp.float32)
+    angles = jnp.linspace(-2.2, 2.2, 24).astype(jnp.float32)
+    ranges = jnp.clip(4.0 + 2.0 * jnp.sin(angles * 5.0), 0.3, 6.5)
+    scan = PlanarScan(ranges=ranges, angles=angles, range_max=jnp.float32(8.0))
+    valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
+    pre = spread_kernel.spread_prepass(
+        huge_map, poses, scan.ranges, scan.angles, valid
+    )
+    assert int(pre["n_escape"]) > 0, "stragglers should force escape pairs"
+    assert bool(pre["fits"]), "escape capacity should absorb the stragglers"
+
+    term = lambda z: z * z  # arbitrary elementwise beam term
+    s = spread_kernel.spread_term_sums(
+        huge_map, poses, scan.ranges, scan.angles, valid, pre, term,
+        interpret=True,
+    )
+    got = np.asarray(spread_kernel.unsort(s, pre))
+    z_xla = np.asarray(_xla_distances(huge_map, poses, scan), np.float64)
+    want = (z_xla ** 2 * np.asarray(valid)[:, None]).sum(0)
+    # quantization: |z_k - z| <= q/2 => |z_k^2 - z^2| <~ q * z_max per beam
+    tol = 0.016 * 2.0 * scan.ranges.shape[0]
+    np.testing.assert_allclose(got, want, atol=tol)
 
 
 def test_spread_full_model_estimator_agreement(huge_map):
@@ -99,17 +140,47 @@ def test_spread_full_model_estimator_agreement(huge_map):
     np.testing.assert_allclose(mean_s[:2], mean_x[:2], atol=2e-2)
 
 
-def test_long_beams_fall_back(huge_map):
+def test_long_beams_in_envelope(huge_map):
+    """Round 2 sent ALL long-beam spread scans to the fallback; the
+    yaw-binned tiers must now cover a localized spread cloud at 5 m beams
+    (100 cells) without a single escape overflow."""
     poses = _spread_poses(3000, seed=5)
     angles = jnp.linspace(-2.0, 2.0, 32).astype(jnp.float32)
-    ranges = jnp.full((32,), 5.0, jnp.float32)  # 100 cells >> envelope
+    ranges = jnp.full((32,), 5.0, jnp.float32)
+    scan = PlanarScan(ranges=ranges, angles=angles, range_max=jnp.float32(8.0))
+    valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
+    pre = spread_kernel.spread_prepass(
+        huge_map, poses, scan.ranges, scan.angles, valid
+    )
+    assert bool(pre["fits"])
+    n = poses.shape[0]
+    params = PlanarScanParams()
+    p_x, _ = planar_likelihood(
+        huge_map, params, scan, poses, jnp.ones((n,), bool), jnp.int32(n),
+        "likelihood_field",
+    )
+    p_f, _ = planar_likelihood(
+        huge_map, params, scan, poses, jnp.ones((n,), bool), jnp.int32(n),
+        "likelihood_field", backend="pallas_corr_interpret",
+    )
+    # quantization-level agreement only (the kernel path runs): worst-case
+    # per-beam |d pz^3| from the +-8 mm quantization is ~3 pz^2 z_hit z/s^2
+    # ~ 0.07 at sigma_hit = 0.2, so p = 1 + sum pz^3 can move a few percent
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_x), rtol=6e-2)
+
+
+def test_escape_overflow_falls_back(huge_map):
+    """A deeply map-wide sparse cloud with many beams overflows CAP_PAIRS;
+    the dispatch must return the exact XLA result."""
+    poses = _spread_poses(16000, seed=13, half=12.0)
+    angles = jnp.linspace(-2.0, 2.0, 160).astype(jnp.float32)
+    ranges = jnp.full((160,), 5.0, jnp.float32)
     scan = PlanarScan(ranges=ranges, angles=angles, range_max=jnp.float32(8.0))
     valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
     pre = spread_kernel.spread_prepass(
         huge_map, poses, scan.ranges, scan.angles, valid
     )
     assert not bool(pre["fits"])
-    # and the full dispatch still produces the exact XLA result
     n = poses.shape[0]
     params = PlanarScanParams()
     p_x, _ = planar_likelihood(
