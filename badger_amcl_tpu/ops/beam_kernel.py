@@ -6,12 +6,25 @@ Companion to ops/corr_kernel.py for the beam measurement model
 through beam b is a pure texture value R[k(t, b), j, i], so the whole beam
 mixture becomes a correlation:
 
-    corr[t, dj, di] = sum_b  phi_b( R[k(t,b), j0+dj, i0+di] * res )
+    corr[t, dj, di] = sum_b  phi_b( R[k(t, b), j0+dj, i0+di] * res )
 
 phi_b is the 4-part hit/short/max/rand mixture cubed. One XLA dynamic_slice
 compacts the (K, H, W) range image to the particle window (K, 64, 128) —
 4 MB of VMEM — so the kernel does no DMA and no shifts at all: per tap it
 reads one full slab window and runs the mixture elementwise.
+
+Round-3 structure (adopted from corr v2):
+- yaw-bin width is ADAPTIVE: delta = res/range_max keeps the worst-case
+  arc error r*delta <= one cell for the longest representable return on
+  the map at hand (clamped to [1/MAX_RANGE_CELLS, 1/MIN_RANGE_CELLS]), so
+  short-range sensors get proportionally coarser bins -> fewer taps.
+- occupied yaw bins are COMPACTED outside the kernel (one-hot cumsum, no
+  vmapped argsort), so Gaussian tails and multimodal gaps between bins are
+  never iterated.
+- the beam loop is INNER and accumulates into a (PWIN_R, PWIN_C) register
+  tile, storing corr[t] once per bin: the round-2 flat tap loop re-read and
+  re-wrote the 32 KB corr slab per (t, b) tap, which dominated its 14.9 ms
+  at 5k x 720 (PERF.md config 2).
 
 Approximate (lattice + angle-bin + range-image resampling, each ~1 cell /
 r * 2 pi / K); the exact Bresenham path (sensors/raycast.py) remains the
@@ -28,27 +41,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from badger_amcl_tpu.ops.corr_kernel import (
+    MAX_RANGE_CELLS,
+    MIN_RANGE_CELLS,
     PWIN_C,
     PWIN_R,
     T_MAX,
 )
 
-# Fixed yaw-bin width for the beam lattice (corr_kernel's is adaptive, but
-# the range-image kernel's angle discretization is tied to the baked K bins,
-# so it keeps the original fixed contract: r*delta/2 <= half a cell at 8 m
-# of 5 cm cells).
-DELTA_THETA = 1.0 / 160.0
-
 MAX_RI_BYTES = 6 * 1024 * 1024  # VMEM budget for the compacted (K, 64, 128) u16
+
+
+def _dtheta(omap, range_max):
+    """Adaptive yaw-bin width: one map cell of arc at the sensor's max
+    range (the longest return the range image can produce)."""
+    max_cells = range_max / omap.resolution
+    return 1.0 / jnp.clip(max_cells, MIN_RANGE_CELLS, MAX_RANGE_CELLS)
 
 
 def _kernel(
     # scalar prefetch (SMEM)
-    meta_ref,  # (2,) int32: (t_count, t_min)
+    meta_ref,  # (2,) int32: (t_n, t_min)
+    t_order_ref,  # (T_MAX,) int32 — compacted slot -> raw bin offset
     obs_ref,  # (B,) f32 observed ranges
     angles_ref,  # (B,) f32 beam bearings
-    mix_ref,  # (8,) f32: z_hit, z_short, z_max, z_rand_mult, range_max,
-    #            denom_inv, lambda_short, res
+    mix_ref,  # (9,) f32: z_hit, z_short, z_max, z_rand_mult, range_max,
+    #            denom_inv, lambda_short, res, dtheta
     # VMEM
     rwin_ref,  # (K, PWIN_R, PWIN_C) uint16 compacted range image (cells)
     corr_ref,  # out (T_MAX, PWIN_R, PWIN_C) f32
@@ -65,35 +82,44 @@ def _kernel(
     denom_inv = mix_ref[5]
     lam = mix_ref[6]
     res = mix_ref[7]
+    dtheta = mix_ref[8]
     bin_inv = jnp.float32(k_angles) / (2.0 * jnp.pi)
 
-    def tap(i, _):
-        t = i // n_beams
-        b = i % n_beams
-        obs = obs_ref[b]
-        theta = (meta_ref[1] + t).astype(jnp.float32) * DELTA_THETA + angles_ref[b]
-        k = jnp.round(theta * bin_inv).astype(jnp.int32)
-        k = jax.lax.rem(jax.lax.rem(k, k_angles) + k_angles, k_angles)
-        win = rwin_ref[pl.ds(k, 1)].reshape(PWIN_R, PWIN_C)
-        map_range = jnp.minimum(
-            win.astype(jnp.int32).astype(jnp.float32) * res, range_max
+    def bin_body(t, _):
+        t_raw = (meta_ref[1] + t_order_ref[t]).astype(jnp.float32) * dtheta
+
+        def beam_body(b, acc):
+            obs = obs_ref[b]
+            theta = t_raw + angles_ref[b]
+            k = jnp.round(theta * bin_inv).astype(jnp.int32)
+            k = jax.lax.rem(jax.lax.rem(k, k_angles) + k_angles, k_angles)
+            win = rwin_ref[pl.ds(k, 1)].reshape(PWIN_R, PWIN_C)
+            map_range = jnp.minimum(
+                win.astype(jnp.int32).astype(jnp.float32) * res, range_max
+            )
+            z = obs - map_range
+            pz = z_hit * jnp.exp(-(z * z) * denom_inv)
+            pz = pz + jnp.where(z < 0, z_short * lam * jnp.exp(-lam * obs), 0.0)
+            pz = pz + jnp.where(obs == range_max, z_max, 0.0)
+            pz = pz + jnp.where(obs < range_max, z_rand_mult, 0.0)
+            return acc + pz * pz * pz
+
+        acc = jax.lax.fori_loop(
+            0, n_beams, beam_body,
+            jnp.zeros((PWIN_R, PWIN_C), jnp.float32), unroll=False,
         )
-        z = obs - map_range
-        pz = z_hit * jnp.exp(-(z * z) * denom_inv)
-        pz = pz + jnp.where(z < 0, z_short * lam * jnp.exp(-lam * obs), 0.0)
-        pz = pz + jnp.where(obs == range_max, z_max, 0.0)
-        pz = pz + jnp.where(obs < range_max, z_rand_mult, 0.0)
-        corr_ref[pl.ds(t, 1)] = corr_ref[pl.ds(t, 1)] + (pz * pz * pz)[None, :, :]
+        corr_ref[pl.ds(t, 1)] = acc[None, :, :]
         return 0
 
-    jax.lax.fori_loop(0, meta_ref[0] * n_beams, tap, 0, unroll=False)
+    jax.lax.fori_loop(0, meta_ref[0], bin_body, 0, unroll=False)
 
 
 @functools.partial(jax.jit, static_argnames=("n_beams", "k_angles", "interpret"))
-def _beam_call(rwin, meta, obs, angles, mix, n_beams, k_angles, interpret=False):
+def _beam_call(rwin, meta, t_order, obs, angles, mix, n_beams, k_angles,
+               interpret=False):
     kern = functools.partial(_kernel, n_beams=n_beams, k_angles=k_angles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -103,11 +129,13 @@ def _beam_call(rwin, meta, obs, angles, mix, n_beams, k_angles, interpret=False)
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T_MAX, PWIN_R, PWIN_C), jnp.float32),
         interpret=interpret,
-    )(meta, obs, angles, mix, rwin)
+    )(meta, t_order, obs, angles, mix, rwin)
 
 
-def beam_prepass(omap, spose):
-    """Particle lattice geometry for the beam kernel (window + yaw bins)."""
+def beam_prepass(omap, spose, range_max=8.0):
+    """Particle lattice geometry for the beam kernel: window, adaptive yaw
+    bins, and the compacted occupied-bin machinery (corr_kernel-style
+    one-hot cumsum — no M-sized scatter, no argsort)."""
     ij = omap.world_to_map(spose[:, :2])
     ci = jnp.clip(ij[..., 0], 0, omap.size_x - 1)
     cj = jnp.clip(ij[..., 1], 0, omap.size_y - 1)
@@ -116,12 +144,32 @@ def beam_prepass(omap, spose):
     span_ok = (jnp.max(ci) - i0 < PWIN_C) & (jnp.max(cj) - j0 < PWIN_R)
     i0 = jnp.clip(i0, 0, max(omap.size_x - PWIN_C, 0))
     j0 = jnp.clip(j0, 0, max(omap.size_y - PWIN_R, 0))
-    t_m = jnp.round(spose[:, 2] / DELTA_THETA).astype(jnp.int32)
+    dtheta = _dtheta(omap, jnp.float32(range_max))
+    t_m = jnp.round(spose[:, 2] / dtheta).astype(jnp.int32)
     t_min = jnp.min(t_m)
     t_count = jnp.max(t_m) - t_min + 1
     fits = span_ok & (t_count <= T_MAX)
+
+    # occupied-bin compaction (corr_prepass pattern): per-particle compacted
+    # slot + slot -> raw-offset order, both as tiny one-hot reductions
+    t_rel = jnp.clip(t_m - t_min, 0, T_MAX - 1)
+    oh_bins = t_rel[:, None] == jnp.arange(T_MAX, dtype=jnp.int32)[None, :]
+    t_occ = jnp.any(oh_bins, axis=0).astype(jnp.int32)
+    t_n = jnp.sum(t_occ)
+    t_dest = jnp.where(
+        t_occ == 1,
+        jnp.cumsum(t_occ) - 1,
+        t_n + jnp.cumsum(1 - t_occ) - 1,
+    ).astype(jnp.int32)
+    t_order = jnp.zeros((T_MAX,), jnp.int32).at[t_dest].set(
+        jnp.arange(T_MAX, dtype=jnp.int32)
+    )
+    t_slot = jnp.sum(jnp.where(oh_bins, t_dest[None, :], 0), axis=1)
+
     return {"ci": ci, "cj": cj, "i0": i0, "j0": j0, "t_m": t_m,
-            "t_min": t_min, "t_count": t_count, "fits": fits}
+            "t_min": t_min, "t_count": t_count, "fits": fits,
+            "dtheta": dtheta, "t_slot": t_slot, "t_n": t_n,
+            "t_order": t_order}
 
 
 def ri_fits(omap) -> bool:
@@ -148,16 +196,18 @@ def beam_corr_values(omap, params, scan, spose, pre, interpret=False):
         params.z_hit, params.z_short, params.z_max,
         params.z_rand / scan.range_max, scan.range_max,
         1.0 / denom, params.lambda_short, jnp.float32(omap.resolution),
+        pre["dtheta"],
     ]).astype(jnp.float32)
-    meta = jnp.stack([pre["t_count"], pre["t_min"]]).astype(jnp.int32)
+    meta = jnp.stack(
+        [jnp.maximum(pre["t_n"], 1), pre["t_min"]]
+    ).astype(jnp.int32)
     corr = _beam_call(
-        rwin, meta, scan.ranges.astype(jnp.float32),
+        rwin, meta, pre["t_order"], scan.ranges.astype(jnp.float32),
         scan.angles.astype(jnp.float32), mix,
         n_beams=int(scan.ranges.shape[0]), k_angles=k_angles,
         interpret=interpret,
     )
-    t_rel = jnp.clip(pre["t_m"] - pre["t_min"], 0, T_MAX - 1)
     dj = jnp.clip(pre["cj"] - pre["j0"], 0, PWIN_R - 1)
     di = jnp.clip(pre["ci"] - pre["i0"], 0, PWIN_C - 1)
-    flat = (t_rel * PWIN_R + dj) * PWIN_C + di
+    flat = (pre["t_slot"] * PWIN_R + dj) * PWIN_C + di
     return 1.0 + jnp.take(corr.reshape(-1), flat)

@@ -20,11 +20,14 @@ AREA) and extends coverage to uncapped 8 m beams.
 Per (tile, beam-group) the prepass computes the EXACT endpoint bbox and
 assigns a tier:
 
-- tier 0: a (ROWS0 x COLS0) = (128 x 256) window fits — the dense bulk of a
-  localized spread cloud. ~2.6x cheaper per endpoint than round 2's std arm.
-- tier 1: a (ROWS1 x COLS1) = (224 x 384) window fits — sparse/straggler
+- tier 0: a (ROWS0 x COLS0) = (96 x 128) window fits — the dense bulk of a
+  localized spread cloud. ~7x fewer MACs per endpoint than round 2's arm.
+- tier 1: a (ROWS1 x COLS1) = (224 x 256) window fits — sparse/straggler
   tiles, range-discontinuity groups (doorways), low-density yaw bins.
-- tier 2 (escape): neither fits. Those pairs are evaluated EXACTLY (same
+- tier 2: a (ROWS2 x COLS2) = (384 x 384) GIANT window fits — sparse
+  full-yaw tiles whose endpoints cover the whole radius-r annulus; the
+  big matmul is still ~4x cheaper than per-element XLA gathers.
+- tier 3 (escape): nothing fits. Those pairs are evaluated EXACTLY (same
   int8 quantization) by a capacity-bounded XLA gather (CAP_PAIRS pairs,
   gated behind a lax.cond so the zero-escape common case pays nothing) and
   merged additively into the per-particle beam-term sums. Only when the
@@ -33,8 +36,8 @@ assigns a tier:
   stragglers triggered every time (measured 284 ms/step on evolved
   global-loc states vs ~10 ms here).
 
-Both tiers run in ONE kernel (pl.when-gated per group), GRP = 8 beams per
-(ROWS x COLS) @ (COLS, GRP*TILE_M) int8 MXU contraction; the per-endpoint
+Both tiers run in ONE kernel (pl.when-gated per group), group_of(B) beams
+per (ROWS x COLS) @ (COLS, GRP*TILE_M) int8 MXU contraction; the per-endpoint
 cell extraction is the one-hot MXU trick: column one-hot int8 matmul ->
 int32, then a row-mask reduce — the "gather" becomes dense int8 MXU work.
 
@@ -57,14 +60,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_M = 128  # particles per sorted tile (lane blocks)
-GRP = 8  # beams per matmul group
+def group_of(b: int) -> int:
+    """Beams per matmul group (static per scan size). Wide groups amortize
+    window loads and loop overhead, but a group's endpoint bbox unions its
+    beams' arcs — its ANGULAR span (GRP x the scan's angular resolution)
+    must stay small, so short scans take narrower groups."""
+    return 16 if b >= 256 else (8 if b >= 64 else 4)
 # Window tiers (rows x cols): per-endpoint MXU cost scales with ROWS*COLS.
 # int8 VMEM tiling is (32, 128): row origins align down to 32 (usable span
-# ROWS-31), col origins to 128 (usable span COLS-127).
-ROWS0 = 128
-COLS0 = 256
+# ROWS-31). Column origins are FULLY dynamic: the kernel loads an aligned
+# (rows, cols+128) slice and left-rotates it by the misalignment through an
+# int32 bitcast view — pltpu.bitcast packs 4 int8 sublane rows per int32
+# and PRESERVES columns (verified on v5e, interpret == hw), and
+# DynamicRotateOp is 32-bit-only, so the int32 view is what makes a lane
+# roll of an int8 texture legal. That removes the 127-column alignment
+# waste, shrinking the matmul K-dim ~2x at equal coverage.
+ROWS0 = 96
+COLS0 = 128
+LOAD_C0 = COLS0 + 128
 ROWS1 = 224
-COLS1 = 384
+COLS1 = 256
+LOAD_C1 = COLS1 + 128
+# Giant tier: absorbs sparse full-yaw tiles (whole-annulus bboxes, up to
+# ~2*160-cell beams) on the MXU — ~147k MACs per endpoint is still ~4x
+# cheaper than the 7.8 ns XLA per-element gather the escape arm pays.
+ROWS2 = 384
+COLS2 = 384
+LOAD_C2 = COLS2 + 128
 # Yaw-primary sort: 32 bins x snake-raster spatial blocks. More bins
 # tighten r*dtheta on long beams but fragment the spatial compactness of
 # each bin's tiles; 32 puts r*dtheta at ~31 cells for uncapped 8 m beams
@@ -80,7 +102,7 @@ MAX_TEX_CELLS = 4 * 1024 * 1024  # int8 texture VMEM budget (bytes == cells)
 # gathers, ~4 ms) for a sprinkling of straggler tiles; <= CAP_PAIRS_MAX
 # (~16 ms) for evolved global-loc states where random-pose injection builds
 # a whole sparse sub-population (node.cpp:847-868 recovery regime).
-CAP_PAIRS = 512
+CAP_PAIRS = 256
 CAP_PAIRS_MAX = 2048
 # Density classes (primary sort key): per (yaw bin, block) particle counts
 # bucket particles into coarse density classes so sparse stragglers sort
@@ -113,7 +135,7 @@ def tex_fits(omap) -> bool:
     return (
         omap.size_x * omap.size_y <= MAX_TEX_CELLS
         and omap.size_y >= ROWS1
-        and omap.size_x >= COLS1
+        and omap.size_x >= LOAD_C1
     )
 
 
@@ -128,50 +150,71 @@ def _kernel(
     flags_ref,  # (8, G) int32 SMEM block — tier per (tile, group)
     org0_ref,  # (8, G) int32 SMEM packed (row0 << 16) | col0, tier 0
     org1_ref,  # (8, G) int32 SMEM, tier 1
+    org2_ref,  # (8, G) int32 SMEM, tier 2 (giant)
     tex_ref,  # (H, W) int8 full texture (VMEM)
-    rrep_ref,  # (G, 1, GRP*TILE_M) f32 — ranges, each repeated TILE_M
-    arep_ref,  # (G, 1, GRP*TILE_M) f32 — angles likewise
-    px_ref,  # (1, TILE_M) f32 sorted particle x
-    py_ref,
-    pth_ref,
+    rca_ref,  # (G, 1, GRP*TILE_M) f32 — r*cos(a)/res, each repeated TILE_M
+    rsa_ref,  # (G, 1, GRP*TILE_M) f32 — r*sin(a)/res likewise
+    pxc_ref,  # (1, TILE_M) f32 sorted particle x in CELL coords (+0.5+half)
+    pyc_ref,
+    ct_ref,  # (1, TILE_M) f32 cos(theta_p)
+    st_ref,  # (1, TILE_M) f32 sin(theta_p)
     out_ref,  # (B_pad, TILE_M) f32 quantized distance (meters)
     *,
     n_groups: int,
     geom: tuple,
+    grp: int,
 ):
+    # NO transcendentals in-kernel: endpoint cells come from the angle-
+    # addition identity on precomputed per-particle cos/sin and per-beam
+    # r*cos(a)/res, r*sin(a)/res — 36M in-kernel cos+sin calls were the
+    # single largest cost of the round-3 kernel (benchmarks isolation:
+    # base-without-matmul 15.2 of 18.8 ms).
     max_dist = geom[-1]
-    wide = GRP * TILE_M
+    size_x, size_y = geom[5], geom[6]
+    wide = grp * TILE_M
     scale = max_dist / QLEVELS
     tile8 = pl.program_id(0) % 8
-    px8 = jnp.concatenate([px_ref[:]] * GRP, axis=1)  # (1, wide)
-    py8 = jnp.concatenate([py_ref[:]] * GRP, axis=1)
-    pth8 = jnp.concatenate([pth_ref[:]] * GRP, axis=1)
+    pxc8 = jnp.concatenate([pxc_ref[:]] * grp, axis=1)  # (1, wide)
+    pyc8 = jnp.concatenate([pyc_ref[:]] * grp, axis=1)
+    ct8 = jnp.concatenate([ct_ref[:]] * grp, axis=1)
+    st8 = jnp.concatenate([st_ref[:]] * grp, axis=1)
     col_iota0 = jax.lax.broadcasted_iota(jnp.int32, (COLS0, wide), 0)
     row_iota0 = jax.lax.broadcasted_iota(jnp.int32, (ROWS0, wide), 0)
     col_iota1 = jax.lax.broadcasted_iota(jnp.int32, (COLS1, wide), 0)
     row_iota1 = jax.lax.broadcasted_iota(jnp.int32, (ROWS1, wide), 0)
+    col_iota2 = jax.lax.broadcasted_iota(jnp.int32, (COLS2, wide), 0)
+    row_iota2 = jax.lax.broadcasted_iota(jnp.int32, (ROWS2, wide), 0)
 
     def body(g, _):
-        r = rrep_ref[g]  # (1, wide)
-        a = arep_ref[g]
-        th = pth8 + a
-        ci, cj, inmap = _cells(
-            px8 + r * jnp.cos(th), py8 + r * jnp.sin(th), geom
-        )
+        rca = rca_ref[g]  # (1, wide)
+        rsa = rsa_ref[g]
+        ci = jnp.floor(pxc8 + rca * ct8 - rsa * st8).astype(jnp.int32)
+        cj = jnp.floor(pyc8 + rsa * ct8 + rca * st8).astype(jnp.int32)
+        inmap = (ci >= 0) & (ci < size_x) & (cj >= 0) & (cj < size_y)
         fl = flags_ref[tile8, g]
 
         def emit(z):
             z = jnp.where(inmap, z, max_dist)
-            for k in range(GRP):
-                out_ref[pl.ds(g * GRP + k, 1), :] = (
-                    z[:, k * TILE_M:(k + 1) * TILE_M]
-                )
+            # one (grp, TILE_M) store: row-major (1, wide) relayouts to
+            # (grp, 128) exactly (beam k's lane block becomes row k)
+            out_ref[pl.ds(g * grp, grp), :] = z.reshape(grp, TILE_M)
 
-        def pick(packed, rows, cols, col_iota, row_iota):
+        def pick(packed, rows, cols, load_c, col_iota, row_iota):
             r0 = jax.lax.shift_right_arithmetic(packed, 16)
             c0 = packed & 0xFFFF
-            window = tex_ref[pl.ds(pl.multiple_of(r0, 32), rows),
-                             pl.ds(pl.multiple_of(c0, 128), cols)]
+            # aligned load + int32-bitcast lane roll = dynamic col origin.
+            # The prepass clips c0 so dc <= 128 < load_c - cols + 128.
+            size_x = geom[5]
+            cb_cap = ((size_x - load_c) // 128) * 128
+            c_base = jnp.minimum((c0 // 128) * 128, cb_cap)
+            dc = c0 - c_base
+            win = tex_ref[pl.ds(pl.multiple_of(r0, 32), rows),
+                          pl.ds(pl.multiple_of(c_base, 128), load_c)]
+            w32 = pltpu.bitcast(win, jnp.int32)  # (rows//4, load_c)
+            # pltpu.roll needs a NON-NEGATIVE traced amount: left-roll by dc
+            # is its right-roll complement (CLAUDE.md roll contract)
+            w32 = pltpu.roll(w32, (load_c - dc) % load_c, axis=1)
+            window = pltpu.bitcast(w32, jnp.int8)[:, :cols]
             lr = jnp.clip(cj - r0, 0, rows - 1)
             lc = jnp.clip(ci - c0, 0, cols - 1)
             colhot = (col_iota == lc).astype(jnp.int8)  # (cols, wide)
@@ -185,13 +228,20 @@ def _kernel(
 
         @pl.when(fl == 0)
         def _():
-            emit(pick(org0_ref[tile8, g], ROWS0, COLS0, col_iota0, row_iota0))
+            emit(pick(org0_ref[tile8, g], ROWS0, COLS0, LOAD_C0,
+                      col_iota0, row_iota0))
 
         @pl.when(fl == 1)
         def _():
-            emit(pick(org1_ref[tile8, g], ROWS1, COLS1, col_iota1, row_iota1))
+            emit(pick(org1_ref[tile8, g], ROWS1, COLS1, LOAD_C1,
+                      col_iota1, row_iota1))
 
-        # fl == 2: escape pair — out rows stay garbage; callers mask with
+        @pl.when(fl == 2)
+        def _():
+            emit(pick(org2_ref[tile8, g], ROWS2, COLS2, LOAD_C2,
+                      col_iota2, row_iota2))
+
+        # fl == 3: escape pair — out rows stay garbage; callers mask with
         # the `covered` flags and add the escape arm's exact sums instead.
         return 0
 
@@ -200,20 +250,16 @@ def _kernel(
 
 def spread_prepass(omap, spose, ranges, angles, valid):
     """Sort particles by (yaw bin, snake spatial block) and tier every
-    (tile, beam-group) pair from its EXACT endpoint bbox.
-
-    The (B, Mp) endpoint pass carries no transcendentals: endpoint =
-    pose + r*(cos a cos t - sin a sin t, ...) uses the angle-addition
-    identity on per-particle cos/sin and per-beam cos/sin — outer-product
-    mults only. Bboxes are dilated by 1 cell so a 1-ulp disagreement with
-    the kernel's direct cos(theta + a) evaluation cannot push an endpoint
-    past the checked window edge."""
+    (tile, beam-group) pair from a conservative interval-arithmetic
+    endpoint bbox (see the inline block below); a too-big bbox can only
+    demote a pair's tier, never misread a window."""
     m = spose.shape[0]
     m_pad = -(-m // TILE_M) * TILE_M
     n_tiles = m_pad // TILE_M
     b = ranges.shape[0]
-    b_pad = -(-b // GRP) * GRP
-    g_groups = b_pad // GRP
+    grp = group_of(b)
+    b_pad = -(-b // grp) * grp
+    g_groups = b_pad // grp
 
     # ---- yaw-primary snake sort ------------------------------------------
     ij = omap.world_to_map(spose[:, :2])
@@ -249,57 +295,105 @@ def spread_prepass(omap, spose, ranges, angles, valid):
             [spose_s, jnp.tile(spose_s[-1:], (m_pad - m, 1))], axis=0
         )
 
-    # ---- exact (B, Mp) endpoint cells via the angle-addition identity ----
-    ct, st = jnp.cos(spose_s[:, 2]), jnp.sin(spose_s[:, 2])  # (Mp,)
-    ca, sa = jnp.cos(angles), jnp.sin(angles)  # (B,)
-    r = ranges.astype(jnp.float32)
-    hx = spose_s[None, :, 0] + (r * ca)[:, None] * ct[None, :] \
-        - (r * sa)[:, None] * st[None, :]
-    hy = spose_s[None, :, 1] + (r * sa)[:, None] * ct[None, :] \
-        + (r * ca)[:, None] * st[None, :]
+    # ---- per-(group, tile) endpoint bboxes by INTERVAL ARITHMETIC --------
+    # The kernel computes endpoint cells as floor(pxc + rca*ct - rsa*st)
+    # (cell space, angle-addition identity). Bounding that bilinear form by
+    # per-tile intervals on (pxc, pyc, ct, st) x per-group intervals on
+    # (rca, rsa) costs O(n_tiles x G) instead of materializing the
+    # (B, Mp) endpoint arrays (which measured 7.9 ms of prepass at
+    # 50k x 720 — 8 x 144 MB of HBM traffic). Interval products are
+    # conservative (the ct/st box around a yaw arc ignores their coupling),
+    # which is SAFE: a too-big bbox only demotes the pair a tier or sends
+    # it to the exact escape arm, never misreads a window. Off-map clamping
+    # is safe too: the kernel masks off-map endpoints to max_dist whatever
+    # the clipped window read produced.
     geom = _geom(omap)
-    eci, ecj, inmap = _cells(hx, hy, geom)
+    res, half_x, half_y, ox, oy = geom[0], geom[1], geom[2], geom[3], geom[4]
+    pxc = (spose_s[:, 0] - ox) / res + (0.5 + half_x)  # (Mp,) cell coords
+    pyc = (spose_s[:, 1] - oy) / res + (0.5 + half_y)
+    ct, st = jnp.cos(spose_s[:, 2]), jnp.sin(spose_s[:, 2])
+
+    def tile_iv(v):  # (Mp,) -> ((n_tiles,), (n_tiles,)) min/max per tile
+        v2 = v.reshape(n_tiles, TILE_M)
+        return jnp.min(v2, axis=1), jnp.max(v2, axis=1)
+
+    pxc_lo, pxc_hi = tile_iv(pxc)
+    pyc_lo, pyc_hi = tile_iv(pyc)
+    ct_lo, ct_hi = tile_iv(ct)
+    st_lo, st_hi = tile_iv(st)
+
+    inv_res = jnp.float32(1.0 / res)
+    rpad = jnp.pad(ranges.astype(jnp.float32), (0, b_pad - b))
+    apad = jnp.pad(angles.astype(jnp.float32), (0, b_pad - b))
+    vpad = jnp.pad(valid, (0, b_pad - b))
+    rca = (rpad * jnp.cos(apad) * inv_res).reshape(g_groups, grp)
+    rsa = (rpad * jnp.sin(apad) * inv_res).reshape(g_groups, grp)
+    vg2 = vpad.reshape(g_groups, grp)
+    fbig = jnp.float32(1e9)
+
+    def group_iv(v):  # valid-beam min/max per group -> ((G,), (G,))
+        return (jnp.min(jnp.where(vg2, v, fbig), axis=1),
+                jnp.max(jnp.where(vg2, v, -fbig), axis=1))
+
+    rca_lo, rca_hi = group_iv(rca)
+    rsa_lo, rsa_hi = group_iv(rsa)
+    empty = ~jnp.any(vg2, axis=1)[:, None] & jnp.ones(
+        (1, n_tiles), bool)  # (G, n_tiles)
+
+    def iprod(alo, ahi, blo, bhi):
+        """Interval product bounds: (G, 1) x (1, n_tiles) -> (G, n_tiles)."""
+        p1 = alo[:, None] * blo[None, :]
+        p2 = alo[:, None] * bhi[None, :]
+        p3 = ahi[:, None] * blo[None, :]
+        p4 = ahi[:, None] * bhi[None, :]
+        return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+
+    cc_lo, cc_hi = iprod(rca_lo, rca_hi, ct_lo, ct_hi)  # rca * ct
+    ss_lo, ss_hi = iprod(rsa_lo, rsa_hi, st_lo, st_hi)  # rsa * st
+    sc_lo, sc_hi = iprod(rsa_lo, rsa_hi, ct_lo, ct_hi)  # rsa * ct
+    cs_lo, cs_hi = iprod(rca_lo, rca_hi, st_lo, st_hi)  # rca * st
+    fx_lo = pxc_lo[None, :] + cc_lo - ss_hi
+    fx_hi = pxc_hi[None, :] + cc_hi - ss_lo
+    fy_lo = pyc_lo[None, :] + sc_lo + cs_lo
+    fy_hi = pyc_hi[None, :] + sc_hi + cs_hi
     big = jnp.int32(1 << 30)
-    use = inmap & valid[:, None]  # only in-map endpoints of valid beams
-    eci_lo = jnp.where(use, eci, big)
-    ecj_lo = jnp.where(use, ecj, big)
-    eci_hi = jnp.where(use, eci, -big)
-    ecj_hi = jnp.where(use, ecj, -big)
-    if b_pad != b:
-        pad = ((0, b_pad - b), (0, 0))
-        eci_lo = jnp.pad(eci_lo, pad, constant_values=big)
-        ecj_lo = jnp.pad(ecj_lo, pad, constant_values=big)
-        eci_hi = jnp.pad(eci_hi, pad, constant_values=-big)
-        ecj_hi = jnp.pad(ecj_hi, pad, constant_values=-big)
+    # floor + clamp to the map (off-map endpoints are masked in-kernel),
+    # dilated by the 1-cell fp margin
+    ci_min = jnp.clip(jnp.floor(fx_lo), 0, omap.size_x - 1).astype(jnp.int32) - 1
+    ci_max = jnp.clip(jnp.floor(fx_hi), 0, omap.size_x - 1).astype(jnp.int32) + 1
+    cj_min = jnp.clip(jnp.floor(fy_lo), 0, omap.size_y - 1).astype(jnp.int32) - 1
+    cj_max = jnp.clip(jnp.floor(fy_hi), 0, omap.size_y - 1).astype(jnp.int32) + 1
 
-    # per-(group, tile) bboxes, dilated by the 1-cell ulp margin
-    shape4 = (g_groups, GRP, n_tiles, TILE_M)
-    ci_min = jnp.min(eci_lo.reshape(shape4), axis=(1, 3)) - 1
-    cj_min = jnp.min(ecj_lo.reshape(shape4), axis=(1, 3)) - 1
-    ci_max = jnp.max(eci_hi.reshape(shape4), axis=(1, 3)) + 1
-    cj_max = jnp.max(ecj_hi.reshape(shape4), axis=(1, 3)) + 1
-    empty = ci_min >= big - 1  # (G, n_tiles): no usable endpoint in the pair
-
-    def tier_fit(rows, cols):
+    def tier_fit(rows, cols, load_c):
         """Packed (clipped + aligned) origins, then the fit predicates
         evaluated against those SAME origins (the window the kernel actually
         loads): near the bottom/right map edge the clip moves the origin
         up/left, so testing the raw mins would pass endpoints that fall past
-        the real window's end."""
+        the real window's end. Rows align down to 32 (int8 tiling); columns
+        are fully dynamic via the kernel's bitcast lane roll, clipped only
+        so the roll distance stays <= 128 (c_hi below mirrors the kernel's
+        c_base cap)."""
+        c_hi = ((omap.size_x - load_c) // 128) * 128 + (load_c - cols)
         row0 = jnp.clip(jnp.where(empty, 0, cj_min), 0, omap.size_y - rows) & ~31
-        col0 = jnp.clip(jnp.where(empty, 0, ci_min), 0, omap.size_x - cols) & ~127
+        col0 = jnp.clip(jnp.where(empty, 0, ci_min), 0, c_hi)
         fit = empty | (
             (cj_min >= row0) & ((cj_max - row0) < rows)
             & (ci_min >= col0) & ((ci_max - col0) < cols)
         )
         return fit, (jnp.left_shift(row0, 16) | col0).astype(jnp.int32)
 
-    fit0, org0 = tier_fit(ROWS0, COLS0)
-    if not (omap.size_y >= ROWS0 and omap.size_x >= COLS0):
+    fit0, org0 = tier_fit(ROWS0, COLS0, LOAD_C0)
+    if not (omap.size_y >= ROWS0 and omap.size_x >= LOAD_C0):
         fit0 = jnp.zeros_like(fit0)
-    fit1, org1 = tier_fit(ROWS1, COLS1)
-    flags = jnp.where(fit0, 0, jnp.where(fit1, 1, 2)).astype(jnp.int32)
-    n_escape = jnp.sum(flags == 2).astype(jnp.int32)
+    fit1, org1 = tier_fit(ROWS1, COLS1, LOAD_C1)
+    fit2, org2 = tier_fit(ROWS2, COLS2, LOAD_C2)
+    if not (omap.size_y >= ROWS2 and omap.size_x >= LOAD_C2):
+        fit2 = jnp.zeros_like(fit2)
+    flags = jnp.where(
+        fit0, 0, jnp.where(fit1, 1, jnp.where(fit2, 2, 3))
+    ).astype(jnp.int32)
+    n_escape = jnp.sum(flags == 3).astype(jnp.int32)
 
     # kernel SMEM blocks are (8, G) per 8-tile slab: transpose to (tiles, G)
     pad8 = (-n_tiles) % 8
@@ -313,6 +407,7 @@ def spread_prepass(omap, spose, ranges, angles, valid):
         "flags": to_tiles(flags),  # (n_tiles_pad8, G) int32 tier
         "org0": to_tiles(org0),
         "org1": to_tiles(org1),
+        "org2": to_tiles(org2),
         "n_escape": n_escape,
         "fits": n_escape <= CAP_PAIRS_MAX,
         "n_tiles": n_tiles,
@@ -323,19 +418,25 @@ def spread_prepass(omap, spose, ranges, angles, valid):
 
 @functools.partial(jax.jit, static_argnames=("geom", "interpret"))
 def _tiered_call(geom, tex8, spose_s, ranges, angles, flags, org0, org1,
-                 interpret=False):
+                 org2, interpret=False):
     m_pad = spose_s.shape[0]
     b = ranges.shape[0]
-    b_pad = -(-b // GRP) * GRP
-    n_groups = b_pad // GRP
+    grp = group_of(b)
+    b_pad = -(-b // grp) * grp
+    n_groups = b_pad // grp
     n_tiles = m_pad // TILE_M
-    px = spose_s[:, 0].reshape(1, m_pad)
-    py = spose_s[:, 1].reshape(1, m_pad)
-    pth = spose_s[:, 2].reshape(1, m_pad)
+    res, half_x, half_y, ox, oy = geom[0], geom[1], geom[2], geom[3], geom[4]
+    pxc = ((spose_s[:, 0] - ox) / res + (0.5 + half_x)).reshape(1, m_pad)
+    pyc = ((spose_s[:, 1] - oy) / res + (0.5 + half_y)).reshape(1, m_pad)
+    ct = jnp.cos(spose_s[:, 2]).reshape(1, m_pad)
+    st = jnp.sin(spose_s[:, 2]).reshape(1, m_pad)
     rpad = jnp.pad(ranges.astype(jnp.float32), (0, b_pad - b))
     apad = jnp.pad(angles.astype(jnp.float32), (0, b_pad - b))
-    rrep = jnp.repeat(rpad, TILE_M).reshape(n_groups, 1, GRP * TILE_M)
-    arep = jnp.repeat(apad, TILE_M).reshape(n_groups, 1, GRP * TILE_M)
+    inv_res = jnp.float32(1.0 / res)
+    rca = jnp.repeat(rpad * jnp.cos(apad) * inv_res, TILE_M).reshape(
+        n_groups, 1, grp * TILE_M)
+    rsa = jnp.repeat(rpad * jnp.sin(apad) * inv_res, TILE_M).reshape(
+        n_groups, 1, grp * TILE_M)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
@@ -346,9 +447,12 @@ def _tiered_call(geom, tex8, spose_s, ranges, angles, flags, org0, org1,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, n_groups), lambda t: (t // 8, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, n_groups), lambda t: (t // 8, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(tex8.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(rrep.shape, lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(arep.shape, lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(rca.shape, lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(rsa.shape, lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_M), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_M), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_M), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_M), lambda t: (0, t), memory_space=pltpu.VMEM),
@@ -356,12 +460,12 @@ def _tiered_call(geom, tex8, spose_s, ranges, angles, flags, org0, org1,
         out_specs=pl.BlockSpec((b_pad, TILE_M), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
     )
-    kern = functools.partial(_kernel, n_groups=n_groups, geom=geom)
+    kern = functools.partial(_kernel, n_groups=n_groups, geom=geom, grp=grp)
     out = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b_pad, m_pad), jnp.float32),
         interpret=interpret,
-    )(flags, org0, org1, tex8, rrep, arep, px, py, pth)
+    )(flags, org0, org1, org2, tex8, rca, rsa, pxc, pyc, ct, st)
     return out[:b]
 
 
@@ -377,14 +481,15 @@ def spread_distances_sorted(omap, spose, ranges, angles, valid, pre,
     tex8 = quantized_tex(omap)
     zt = _tiered_call(
         geom, tex8, pre["spose_s"], ranges, angles,
-        pre["flags"], pre["org0"], pre["org1"], interpret=interpret,
+        pre["flags"], pre["org0"], pre["org1"], pre["org2"],
+        interpret=interpret,
     )
     n_tiles = pre["n_tiles"]
     b = ranges.shape[0]
     # (B, m_pad) coverage: tier < 2, expanded groups -> beams, tiles -> lanes
-    cov_pairs = pre["flags"][:n_tiles] < 2  # (n_tiles, G)
+    cov_pairs = pre["flags"][:n_tiles] < 3  # (n_tiles, G)
     cov = jnp.repeat(
-        jnp.repeat(jnp.transpose(cov_pairs), GRP, axis=0)[:b],
+        jnp.repeat(jnp.transpose(cov_pairs), group_of(b), axis=0)[:b],
         TILE_M, axis=1,
     )
     return zt, cov
@@ -402,12 +507,13 @@ def _escape_term_sums(omap, pre, ranges, angles, valid, term_fn, cap):
     g = pre["g_groups"]
     flags = pre["flags"][:n_tiles]  # (n_tiles, G)
     b = ranges.shape[0]
-    b_pad = g * GRP
+    grp = group_of(b)
+    b_pad = g * grp
     big = jnp.int32(1 << 30)
 
     pid = jnp.arange(n_tiles * g, dtype=jnp.int32)
     esc_sorted = jax.lax.sort(
-        jnp.where(flags.reshape(-1) == 2, pid, big), is_stable=False
+        jnp.where(flags.reshape(-1) == 3, pid, big), is_stable=False
     )
     ids = esc_sorted[:cap]
     pvalid = ids < n_tiles * g
@@ -420,11 +526,11 @@ def _escape_term_sums(omap, pre, ranges, angles, valid, term_fn, cap):
     rpad = jnp.pad(ranges.astype(jnp.float32), (0, b_pad - b))
     apad = jnp.pad(angles.astype(jnp.float32), (0, b_pad - b))
     vpad = jnp.pad(valid, (0, b_pad - b))
-    rg = jnp.take(rpad.reshape(g, GRP), pg, axis=0)  # (CAP, GRP)
-    ag = jnp.take(apad.reshape(g, GRP), pg, axis=0)
-    vg = jnp.take(vpad.reshape(g, GRP), pg, axis=0)
+    rg = jnp.take(rpad.reshape(g, grp), pg, axis=0)  # (CAP, grp)
+    ag = jnp.take(apad.reshape(g, grp), pg, axis=0)
+    vg = jnp.take(vpad.reshape(g, grp), pg, axis=0)
 
-    th = pp[:, None, :, 2] + ag[:, :, None]  # (CAP, GRP, TILE_M)
+    th = pp[:, None, :, 2] + ag[:, :, None]  # (CAP, grp, TILE_M)
     hx = pp[:, None, :, 0] + rg[:, :, None] * jnp.cos(th)
     hy = pp[:, None, :, 1] + rg[:, :, None] * jnp.sin(th)
     geom = _geom(omap)

@@ -443,7 +443,7 @@ def _beam_model(omap, params, scan, spose, backend="xla"):
         from badger_amcl_tpu.ops import beam_kernel
 
         if beam_kernel.ri_fits(omap):
-            pre = beam_kernel.beam_prepass(omap, spose)
+            pre = beam_kernel.beam_prepass(omap, spose, scan.range_max)
             interp = backend == "pallas_corr_interpret"
 
             def fast(_):

@@ -252,7 +252,9 @@ def probe_spread(omap):
                            minval=-3.14, maxval=3.14),
     ], axis=1)
     poses = jnp.concatenate([dense, shell, strag], axis=0).astype(jnp.float32)
-    angles = jnp.linspace(-2.2, 2.2, 24).astype(jnp.float32)
+    # 256 beams: beam-group arcs at production-like angular resolution
+    # (24-beam scans make every group's arc-union bbox tier-1-wide)
+    angles = jnp.linspace(-2.2, 2.2, 256).astype(jnp.float32)
     ranges = jnp.clip(4.0 + 2.0 * jnp.sin(angles * 5.0), 0.3, 6.5)
     scan = PlanarScan(ranges=ranges, angles=angles, range_max=jnp.float32(8.0))
     valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
@@ -262,7 +264,8 @@ def probe_spread(omap):
     flags = np.asarray(pre["flags"][: pre["n_tiles"]])
     assert (flags == 0).sum() > 0, "no tier-0 pairs exercised"
     assert (flags == 1).sum() > 0, "no tier-1 pairs exercised"
-    assert (flags == 2).sum() > 0, "no escape pairs exercised"
+    assert (flags == 2).sum() > 0, "no giant-tier pairs exercised"
+    assert (flags == 3).sum() > 0, "no escape pairs exercised"
     hw, cov = spread_kernel.spread_distances_sorted(
         omap, poses, scan.ranges, scan.angles, valid, pre,
         interpret=INTERPRET_HW)

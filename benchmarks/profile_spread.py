@@ -1,9 +1,8 @@
-"""Spread-kernel pass split: what do the batched and std passes each cost?
+"""Spread-kernel pass split (v3 tiered kernel): what do the tiers cost?
 
-Runs the two pallas passes with forced flags (all-batched / all-std /
-real flags) on the bench spread setup, in-jit fori chains (CLAUDE.md
-timing rules). Also times the prepass and the XLA fallback for reference.
-One TPU job at a time.
+Runs the tiered pallas kernel with forced flags (all-tier0 / all-tier1 /
+real) on the bench spread setup, in-jit fori chains (CLAUDE.md timing
+rules). Also times the prepass and the escape arm. One TPU job at a time.
 """
 
 import argparse
@@ -39,7 +38,7 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--long-ranges", action="store_true",
                     help="uncapped realistic scan (1.5-7.9 m)")
-    ap.add_argument("--what", default="batched,std,real,prepass")
+    ap.add_argument("--what", default="t0,t1,real,prepass,sums")
     args = ap.parse_args()
 
     import jax
@@ -62,47 +61,48 @@ def main():
     what = set(args.what.split(","))
 
     geom = sk._geom(omap)
-    tex8 = jnp.round(
-        omap.distances * (sk.QLEVELS / omap.max_distance_to_object)
-    ).astype(jnp.int8)
+    tex8 = sk.quantized_tex(omap)
 
     pre = jax.jit(sk.spread_prepass)(omap, state.poses, ranges, angles, valid)
-    jax.block_until_ready(pre)
-    flags = pre["flags"]
-    n_tiles = pre["n_tiles"]
+    jax.block_until_ready(pre["flags"])
+    # jit turns the dict's static python ints into device scalars; restore
+    # them (inside the production jit they stay trace-time constants)
+    for k in ("n_tiles", "g_groups", "m_pad"):
+        pre[k] = int(pre[k])
+    import numpy as np
+
+    fl = np.asarray(pre["flags"][: pre["n_tiles"]])
     out = {
         "device": str(jax.devices()[0]),
         "long_ranges": bool(args.long_ranges),
         "fits": bool(pre["fits"]),
-        "frac_batched": float(jnp.mean(flags[:n_tiles])),
-        "n_tiles": int(n_tiles),
+        "n_tiles": int(pre["n_tiles"]),
+        "tier0_pairs": int((fl == 0).sum()),
+        "tier1_pairs": int((fl == 1).sum()),
+        "tier2_pairs": int((fl == 2).sum()),
+        "escape_pairs": int((fl == 3).sum()),
     }
     print(json.dumps(out), flush=True)
 
     spose_s = pre["spose_s"]
 
-    def run_with(callee, fl, org):
+    def run_with(fl_arr):
         def fn(s):
-            o = callee(geom, tex8, s, ranges, angles, fl, org)
+            o = sk._tiered_call(geom, tex8, s, ranges, angles, fl_arr,
+                                pre["org0"], pre["org1"], pre["org2"])
             # chain: fold one output row back into the pose array
             return s.at[:, 0].add(o[0] * 1e-12)
         return fn
 
-    ones = jnp.ones_like(flags)
-    zeros = jnp.zeros_like(flags)
     cases = []
-    if "batched" in what:
-        cases += [("batched_all", sk._batched_call, ones, pre["origins_narrow"]),
-                  ("batched_skip", sk._batched_call, zeros, pre["origins_narrow"])]
-    if "std" in what:
-        cases += [("std_all", sk._std_call, zeros, pre["origins"]),
-                  ("std_skip", sk._std_call, ones, pre["origins"])]
+    if "t0" in what:
+        cases.append(("tier0_all", jnp.zeros_like(pre["flags"])))
+    if "t1" in what:
+        cases.append(("tier1_all", jnp.ones_like(pre["flags"])))
     if "real" in what:
-        cases += [("batched_real", sk._batched_call, flags, pre["origins_narrow"]),
-                  ("std_real", sk._std_call, flags, pre["origins"])]
-
-    for name, callee, fl, org in cases:
-        ms, cs = timed(run_with(callee, fl, org), spose_s, args.iters)
+        cases.append(("real", pre["flags"]))
+    for name, fl_arr in cases:
+        ms, cs = timed(run_with(fl_arr), spose_s, args.iters)
         out[name + "_ms"] = round(ms, 2)
         out[name + "_compile_s"] = round(cs, 1)
         print(json.dumps({name: out[name + "_ms"]}), flush=True)
@@ -110,10 +110,19 @@ def main():
     if "prepass" in what:
         def pp(s):
             p = sk.spread_prepass(omap, s, ranges, angles, valid)
-            return s.at[:, 0].add(p["flags"][0] * 1e-12)
+            return s.at[:, 0].add(p["flags"][0, 0].astype(jnp.float32) * 1e-12)
         ms, cs = timed(pp, state.poses, args.iters)
         out["prepass_ms"] = round(ms, 2)
         out["prepass_compile_s"] = round(cs, 1)
+
+    if "sums" in what:
+        term = lambda z: z * z
+        def sums(s):
+            t = sk.spread_term_sums(omap, s, ranges, angles, valid, pre, term)
+            return s.at[:, 0].add(t[: s.shape[0]] * 1e-12)
+        ms, cs = timed(sums, state.poses, args.iters)
+        out["term_sums_ms"] = round(ms, 2)
+        out["term_sums_compile_s"] = round(cs, 1)
 
     print(json.dumps(out))
 
