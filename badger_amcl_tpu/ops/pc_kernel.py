@@ -186,6 +186,18 @@ def pc_distances_t(omap, points_base, poses, interpret: bool = False):
         return xla(None)
 
     row0, col0, kz, fits = window_origins(omap, points_base, poses)
+    return jax.lax.cond(
+        fits,
+        lambda _: windowed_distances(
+            omap, points_base, poses, row0, col0, kz, interpret=interpret),
+        xla, operand=None,
+    )
+
+
+def windowed_distances(omap, points_base, poses, row0, col0, kz,
+                       interpret: bool = False):
+    """(B, M) distances via the per-point windowed kernel (callers must
+    have checked tex_fits + window_origins' fits)."""
     tex_zyx = jnp.transpose(omap.distances_u8, (2, 1, 0))  # (nz, ny, nx)
     m = poses.shape[0]
     m_pad = -(-m // TILE_M) * TILE_M
@@ -200,13 +212,10 @@ def pc_distances_t(omap, points_base, poses, interpret: bool = False):
         omap.min_cells[1],
     )
 
-    def fast(_):
-        ratios = _pc_call(
-            tex_zyx, row0, col0, kz,
-            points_base[:, 0].astype(jnp.float32),
-            points_base[:, 1].astype(jnp.float32),
-            px, py, pth, geom, interpret=interpret,
-        )[:, :m]
-        return ratios * jnp.float32(omap.max_distance_ratio)
-
-    return jax.lax.cond(fits, fast, xla, operand=None)
+    ratios = _pc_call(
+        tex_zyx, row0, col0, kz,
+        points_base[:, 0].astype(jnp.float32),
+        points_base[:, 1].astype(jnp.float32),
+        px, py, pth, geom, interpret=interpret,
+    )[:, :m]
+    return ratios * jnp.float32(omap.max_distance_ratio)

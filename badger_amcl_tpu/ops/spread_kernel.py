@@ -163,6 +163,7 @@ def _kernel(
     n_groups: int,
     geom: tuple,
     grp: int,
+    tiers: tuple,  # statically enabled tier ids (window must fit the map)
 ):
     # NO transcendentals in-kernel: endpoint cells come from the angle-
     # addition identity on precomputed per-particle cos/sin and per-beam
@@ -226,20 +227,26 @@ def _kernel(
                 jnp.where(row_iota == lr, picked, 0), axis=0, keepdims=True
             ).astype(jnp.float32) * scale
 
-        @pl.when(fl == 0)
-        def _():
-            emit(pick(org0_ref[tile8, g], ROWS0, COLS0, LOAD_C0,
-                      col_iota0, row_iota0))
+        # branches for tiers whose window exceeds the texture must not
+        # even TRACE (the slice would be malformed); the prepass zeroes
+        # their fit flags so they are never selected dynamically either
+        if 0 in tiers:
+            @pl.when(fl == 0)
+            def _():
+                emit(pick(org0_ref[tile8, g], ROWS0, COLS0, LOAD_C0,
+                          col_iota0, row_iota0))
 
-        @pl.when(fl == 1)
-        def _():
-            emit(pick(org1_ref[tile8, g], ROWS1, COLS1, LOAD_C1,
-                      col_iota1, row_iota1))
+        if 1 in tiers:
+            @pl.when(fl == 1)
+            def _():
+                emit(pick(org1_ref[tile8, g], ROWS1, COLS1, LOAD_C1,
+                          col_iota1, row_iota1))
 
-        @pl.when(fl == 2)
-        def _():
-            emit(pick(org2_ref[tile8, g], ROWS2, COLS2, LOAD_C2,
-                      col_iota2, row_iota2))
+        if 2 in tiers:
+            @pl.when(fl == 2)
+            def _():
+                emit(pick(org2_ref[tile8, g], ROWS2, COLS2, LOAD_C2,
+                          col_iota2, row_iota2))
 
         # fl == 3: escape pair — out rows stay garbage; callers mask with
         # the `covered` flags and add the escape arm's exact sums instead.
@@ -279,14 +286,30 @@ def spread_prepass(omap, spose, ranges, angles, valid):
     yb = jnp.clip(yb, 0, NYAW - 1)
     nb = nbx * nby
     bin_block = yb * nb + by * nbx + bx_snake
-    counts = jnp.zeros((NYAW * nb,), jnp.int32).at[bin_block].add(1)
-    cnt = counts[bin_block]
+    # per-(bin, block) particle counts WITHOUT an M-sized scatter/gather
+    # round-trip (each ~0.5-2 ms at 50k): sort by bin_block, get each
+    # position's segment extent from a prefix-max of segment-start
+    # positions and a suffix-min of segment-end positions, then a second
+    # stable sort by density class alone — stability preserves the
+    # bin_block order within each class, so the net order is
+    # (class, bin_block, draw index) exactly.
+    idx = jnp.arange(m, dtype=jnp.int32)
+    kb_s, idx_s = jax.lax.sort((bin_block, idx), num_keys=1, is_stable=True)
+    segstart = jnp.concatenate(
+        [jnp.ones((1,), bool), kb_s[1:] != kb_s[:-1]]
+    )
+    segend = jnp.concatenate([kb_s[1:] != kb_s[:-1], jnp.ones((1,), bool)])
+    first = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(segstart, idx, -1)
+    )
+    last = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(segend, idx, m), reverse=True
+    )
+    cnt = last - first + 1  # (m,) in bin-sorted order
     klass = jnp.full((m,), len(CLASS_EDGES), jnp.int32)
     for c, edge in enumerate(CLASS_EDGES):
         klass = jnp.where(cnt >= edge, jnp.minimum(klass, c), klass)
-    key = klass * (NYAW * nb) + bin_block
-    idx = jnp.arange(m, dtype=jnp.int32)
-    _, perm = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
+    _, perm = jax.lax.sort((klass, idx_s), num_keys=1, is_stable=True)
 
     spose_s = jnp.take(spose, perm, axis=0)
     if m_pad != m:
@@ -387,6 +410,8 @@ def spread_prepass(omap, spose, ranges, angles, valid):
     if not (omap.size_y >= ROWS0 and omap.size_x >= LOAD_C0):
         fit0 = jnp.zeros_like(fit0)
     fit1, org1 = tier_fit(ROWS1, COLS1, LOAD_C1)
+    if not (omap.size_y >= ROWS1 and omap.size_x >= LOAD_C1):
+        fit1 = jnp.zeros_like(fit1)
     fit2, org2 = tier_fit(ROWS2, COLS2, LOAD_C2)
     if not (omap.size_y >= ROWS2 and omap.size_x >= LOAD_C2):
         fit2 = jnp.zeros_like(fit2)
@@ -460,7 +485,14 @@ def _tiered_call(geom, tex8, spose_s, ranges, angles, flags, org0, org1,
         out_specs=pl.BlockSpec((b_pad, TILE_M), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
     )
-    kern = functools.partial(_kernel, n_groups=n_groups, geom=geom, grp=grp)
+    size_x, size_y = geom[5], geom[6]
+    tiers = tuple(
+        t for t, (rr, lc) in enumerate(
+            ((ROWS0, LOAD_C0), (ROWS1, LOAD_C1), (ROWS2, LOAD_C2)))
+        if size_y >= rr and size_x >= lc
+    )
+    kern = functools.partial(
+        _kernel, n_groups=n_groups, geom=geom, grp=grp, tiers=tiers)
     out = pl.pallas_call(
         kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b_pad, m_pad), jnp.float32),

@@ -82,6 +82,30 @@ def _point_distances_t(omap: OctoMap3D, points_base, poses, backend="xla"):
     return omap.distance_at(cells).T  # (B, N)
 
 
+def _model_term_finalize(omap, params, model, n_points):
+    """(term_fn elementwise over distances, finalize over per-particle term
+    sums, combine over a dense (B, N) distance matrix) for each model."""
+    denom = 2.0 * params.sigma_hit * params.sigma_hit
+
+    if model == "likelihood_field":
+        def term(z):
+            pz = params.z_hit * jnp.exp(-(z * z) / denom) \
+                + params.z_rand / omap.max_distance_to_object
+            return pz * pz * pz
+
+        finalize = lambda s: 1.0 + s
+    elif model == "likelihood_field_gompertz":
+        def term(z):
+            return params.z_hit * jnp.exp(-(z * z) / denom) + params.z_rand
+
+        finalize = lambda s: apply_gompertz(params, s / n_points)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown point cloud model {model!r}")
+
+    combine = lambda zt: finalize(jnp.sum(term(zt), axis=0))
+    return term, finalize, combine
+
+
 def point_cloud_likelihood(
     omap: OctoMap3D,
     params: PointCloudParams,
@@ -97,18 +121,61 @@ def point_cloud_likelihood(
         p = 1 + sum pz^3 over all points (:132-167 — every point counts,
         there is no max-range skip for clouds).
     model == "likelihood_field_gompertz": mean pz (z_rand added raw) through
-        the Gompertz squash (:169-203)."""
-    zt = _point_distances_t(omap, points_base, poses, backend)
-    denom = 2.0 * params.sigma_hit * params.sigma_hit
-    gauss = params.z_hit * jnp.exp(-(zt * zt) / denom)
-    if model == "likelihood_field":
-        pz = gauss + params.z_rand / omap.max_distance_to_object
-        p = 1.0 + jnp.sum(pz * pz * pz, axis=0)
-    elif model == "likelihood_field_gompertz":
-        pz = gauss + params.z_rand
-        p = apply_gompertz(params, jnp.mean(pz, axis=0))
-    else:  # pragma: no cover
-        raise ValueError(f"unknown point cloud model {model!r}")
+        the Gompertz squash (:169-203).
+
+    backend "pallas*" cascades: per-point windowed kernel (converged cloud,
+    ops/pc_kernel.py) -> yaw-binned sorted-tile spread kernel (global
+    localization, ops/pc_spread_kernel.py) -> exact XLA voxel gather."""
+    term, finalize, combine = _model_term_finalize(
+        omap, params, model, points_base.shape[0]
+    )
+
+    if backend in ("pallas", "pallas_interpret", "pallas_corr",
+                   "pallas_corr_interpret"):
+        import jax
+
+        from badger_amcl_tpu.ops import pc_kernel, pc_spread_kernel
+
+        interp = backend.endswith("interpret")
+
+        def xla_fb():
+            cloud = transform_cloud_to_map(points_base, poses)
+            return combine(omap.distance_at(omap.world_to_map(cloud)).T)
+
+        def spread_fb():
+            if (omap.distances_u8 is None
+                    or not pc_spread_kernel.tex_fits(omap)):
+                return xla_fb()
+            pre = pc_spread_kernel.pc_spread_prepass(
+                omap, poses, points_base
+            )
+
+            def fast(_):
+                s = pc_spread_kernel.pc_spread_term_sums(
+                    omap, poses, points_base, pre, term, interpret=interp
+                )
+                return finalize(pc_spread_kernel.unsort(s, pre))
+
+            return jax.lax.cond(
+                pre["fits"], fast, lambda _: xla_fb(), operand=None
+            )
+
+        if pc_kernel.tex_fits(omap):
+            row0, col0, kz, fits = pc_kernel.window_origins(
+                omap, points_base, poses
+            )
+            p = jax.lax.cond(
+                fits,
+                lambda _: combine(pc_kernel.windowed_distances(
+                    omap, points_base, poses, row0, col0, kz,
+                    interpret=interp)),
+                lambda _: spread_fb(),
+                operand=None,
+            )
+        else:
+            p = spread_fb()
+    else:
+        p = combine(_point_distances_t(omap, points_base, poses, backend))
     return p, map_factors(omap, params, poses)
 
 

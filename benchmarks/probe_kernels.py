@@ -193,6 +193,34 @@ def probe_pc():
     it = pc_kernel.pc_distances_t(omap3, cld, poses, interpret=True)
     probe("pc.hw_vs_interpret", hw, it, 1e-5)
 
+    # 3D SPREAD kernel (pc_spread_kernel): uniform cloud over a few meters
+    # of full yaw, term sums vs interpret AND vs the numpy voxel gather
+    from badger_amcl_tpu.ops import pc_spread_kernel
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(17))
+    sposes = jnp.concatenate([
+        10.0 + jax.random.uniform(k1, (3000, 2), minval=-1.5, maxval=1.5),
+        jax.random.uniform(k2, (3000, 1), minval=-3.14, maxval=3.14),
+    ], axis=1).astype(jnp.float32)
+    pre3 = pc_spread_kernel.pc_spread_prepass(omap3, sposes, cld)
+    assert bool(pre3["fits"]), "3D spread probe cloud must fit"
+    fl3 = np.asarray(pre3["flags"][: pre3["n_tiles"]])
+    assert (fl3 < 3).sum() > 0, "no 3D spread tier pairs exercised"
+    term = lambda zz: zz * zz
+    s3_hw = pc_spread_kernel.pc_spread_term_sums(
+        omap3, sposes, cld, pre3, term, interpret=INTERPRET_HW)
+    s3_it = pc_spread_kernel.pc_spread_term_sums(
+        omap3, sposes, cld, pre3, term, interpret=True)
+    probe("pc_spread.hw_vs_interpret", s3_hw, s3_it, 1e-3)
+    from badger_amcl_tpu.sensors.point_cloud import transform_cloud_to_map
+
+    mc = transform_cloud_to_map(cld, sposes)
+    zt3 = np.asarray(omap3.distance_at(omap3.world_to_map(mc)).T, np.float64)
+    want3 = (zt3 ** 2).sum(axis=0)
+    got3 = np.asarray(pc_spread_kernel.unsort(jnp.asarray(s3_hw), pre3))
+    probe("pc_spread.term_sums_vs_numpy", got3, want3, 1e-3,
+          frac_exact=0.99, flip_tol=1.0)
+
 
 # -------------------------------------------------------------------- corr
 
