@@ -45,6 +45,8 @@ from badger_amcl_tpu.ops.corr_kernel import (
     MIN_RANGE_CELLS,
     PWIN_C,
     PWIN_R,
+    PWIN_R_NARROW,
+    PWIN_R_TIGHT,
     T_MAX,
 )
 
@@ -67,11 +69,12 @@ def _kernel(
     mix_ref,  # (9,) f32: z_hit, z_short, z_max, z_rand_mult, range_max,
     #            denom_inv, lambda_short, res, dtheta
     # VMEM
-    rwin_ref,  # (K, PWIN_R, PWIN_C) uint16 compacted range image (cells)
-    corr_ref,  # out (T_MAX, PWIN_R, PWIN_C) f32
+    rwin_ref,  # (K, rows, PWIN_C) uint16 compacted range image (cells)
+    corr_ref,  # out (T_MAX, rows, PWIN_C) f32
     *,
     n_beams: int,
     k_angles: int,
+    rows: int,
 ):
     corr_ref[...] = jnp.zeros_like(corr_ref)
     z_hit = mix_ref[0]
@@ -93,7 +96,7 @@ def _kernel(
             theta = t_raw + angles_ref[b]
             k = jnp.round(theta * bin_inv).astype(jnp.int32)
             k = jax.lax.rem(jax.lax.rem(k, k_angles) + k_angles, k_angles)
-            win = rwin_ref[pl.ds(k, 1)].reshape(PWIN_R, PWIN_C)
+            win = rwin_ref[pl.ds(k, 1)].reshape(rows, PWIN_C)
             map_range = jnp.minimum(
                 win.astype(jnp.int32).astype(jnp.float32) * res, range_max
             )
@@ -106,7 +109,7 @@ def _kernel(
 
         acc = jax.lax.fori_loop(
             0, n_beams, beam_body,
-            jnp.zeros((PWIN_R, PWIN_C), jnp.float32), unroll=False,
+            jnp.zeros((rows, PWIN_C), jnp.float32), unroll=False,
         )
         corr_ref[pl.ds(t, 1)] = acc[None, :, :]
         return 0
@@ -114,10 +117,12 @@ def _kernel(
     jax.lax.fori_loop(0, meta_ref[0], bin_body, 0, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("n_beams", "k_angles", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_beams", "k_angles", "rows",
+                                              "interpret"))
 def _beam_call(rwin, meta, t_order, obs, angles, mix, n_beams, k_angles,
-               interpret=False):
-    kern = functools.partial(_kernel, n_beams=n_beams, k_angles=k_angles)
+               rows=PWIN_R, interpret=False):
+    kern = functools.partial(
+        _kernel, n_beams=n_beams, k_angles=k_angles, rows=rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(1,),
@@ -127,7 +132,7 @@ def _beam_call(rwin, meta, t_order, obs, angles, mix, n_beams, k_angles,
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T_MAX, PWIN_R, PWIN_C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_MAX, rows, PWIN_C), jnp.float32),
         interpret=interpret,
     )(meta, t_order, obs, angles, mix, rwin)
 
@@ -141,9 +146,19 @@ def beam_prepass(omap, spose, range_max=8.0):
     cj = jnp.clip(ij[..., 1], 0, omap.size_y - 1)
     i0 = jnp.min(ci)
     j0 = jnp.min(cj)
-    span_ok = (jnp.max(ci) - i0 < PWIN_C) & (jnp.max(cj) - j0 < PWIN_R)
+    row_span = jnp.max(cj) - j0
+    span_ok = (jnp.max(ci) - i0 < PWIN_C) & (row_span < PWIN_R)
+    # window-height variants (corr_kernel pattern): the per-tap elementwise
+    # mixture cost scales with rows, and converged clouds span ~15-20 cells
+    narrow_ok = span_ok & (row_span < PWIN_R_NARROW) & (
+        omap.size_y >= PWIN_R_NARROW)
+    tight_ok = span_ok & (row_span < PWIN_R_TIGHT) & (
+        omap.size_y >= PWIN_R_TIGHT)
+    j0_raw = j0
     i0 = jnp.clip(i0, 0, max(omap.size_x - PWIN_C, 0))
-    j0 = jnp.clip(j0, 0, max(omap.size_y - PWIN_R, 0))
+    j0 = jnp.clip(j0_raw, 0, max(omap.size_y - PWIN_R, 0))
+    j0_n = jnp.clip(j0_raw, 0, max(omap.size_y - PWIN_R_NARROW, 0))
+    j0_t = jnp.clip(j0_raw, 0, max(omap.size_y - PWIN_R_TIGHT, 0))
     dtheta = _dtheta(omap, jnp.float32(range_max))
     t_m = jnp.round(spose[:, 2] / dtheta).astype(jnp.int32)
     t_min = jnp.min(t_m)
@@ -166,8 +181,9 @@ def beam_prepass(omap, spose, range_max=8.0):
     )
     t_slot = jnp.sum(jnp.where(oh_bins, t_dest[None, :], 0), axis=1)
 
-    return {"ci": ci, "cj": cj, "i0": i0, "j0": j0, "t_m": t_m,
-            "t_min": t_min, "t_count": t_count, "fits": fits,
+    return {"ci": ci, "cj": cj, "i0": i0, "j0": j0, "j0_narrow": j0_n,
+            "j0_tight": j0_t, "narrow": narrow_ok, "tight": tight_ok,
+            "t_m": t_m, "t_min": t_min, "t_count": t_count, "fits": fits,
             "dtheta": dtheta, "t_slot": t_slot, "t_n": t_n,
             "t_order": t_order}
 
@@ -185,12 +201,9 @@ def ri_fits(omap) -> bool:
 
 def beam_corr_values(omap, params, scan, spose, pre, interpret=False):
     """p_model (M,) for the beam mixture via the lattice kernel:
-    p = 1 + corr at each particle's lattice pose."""
+    p = 1 + corr at each particle's lattice pose. A lax.cond picks the
+    smallest window height the particle row span allows."""
     k_angles = int(omap.range_image.shape[0])
-    rwin = jax.lax.dynamic_slice(
-        omap.range_image, (0, pre["j0"], pre["i0"]),
-        (k_angles, PWIN_R, PWIN_C),
-    )
     denom = 2.0 * params.sigma_hit * params.sigma_hit
     mix = jnp.stack([
         params.z_hit, params.z_short, params.z_max,
@@ -201,13 +214,31 @@ def beam_corr_values(omap, params, scan, spose, pre, interpret=False):
     meta = jnp.stack(
         [jnp.maximum(pre["t_n"], 1), pre["t_min"]]
     ).astype(jnp.int32)
-    corr = _beam_call(
-        rwin, meta, pre["t_order"], scan.ranges.astype(jnp.float32),
-        scan.angles.astype(jnp.float32), mix,
-        n_beams=int(scan.ranges.shape[0]), k_angles=k_angles,
-        interpret=interpret,
+
+    def run(rows, j0):
+        rwin = jax.lax.dynamic_slice(
+            omap.range_image, (0, j0, pre["i0"]),
+            (k_angles, rows, PWIN_C),
+        )
+        corr = _beam_call(
+            rwin, meta, pre["t_order"], scan.ranges.astype(jnp.float32),
+            scan.angles.astype(jnp.float32), mix,
+            n_beams=int(scan.ranges.shape[0]), k_angles=k_angles,
+            rows=rows, interpret=interpret,
+        )
+        dj = jnp.clip(pre["cj"] - j0, 0, rows - 1)
+        di = jnp.clip(pre["ci"] - pre["i0"], 0, PWIN_C - 1)
+        flat = (pre["t_slot"] * rows + dj) * PWIN_C + di
+        return 1.0 + jnp.take(corr.reshape(-1), flat)
+
+    return jax.lax.cond(
+        pre["tight"],
+        lambda _: run(PWIN_R_TIGHT, pre["j0_tight"]),
+        lambda _: jax.lax.cond(
+            pre["narrow"],
+            lambda __: run(PWIN_R_NARROW, pre["j0_narrow"]),
+            lambda __: run(PWIN_R, pre["j0"]),
+            operand=None,
+        ),
+        operand=None,
     )
-    dj = jnp.clip(pre["cj"] - pre["j0"], 0, PWIN_R - 1)
-    di = jnp.clip(pre["ci"] - pre["i0"], 0, PWIN_C - 1)
-    flat = (pre["t_slot"] * PWIN_R + dj) * PWIN_C + di
-    return 1.0 + jnp.take(corr.reshape(-1), flat)

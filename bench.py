@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--particles", type=int, default=50000)
     ap.add_argument("--beams", type=int, default=720)
     ap.add_argument("--map-cells", type=int, default=1024)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--platform", default=None, help="override jax platform (e.g. cpu)")
     ap.add_argument("--backend", default=None, help="force compute backend (xla/pallas)")
     args = ap.parse_args()
@@ -49,7 +49,14 @@ def main():
         loop-invariant hoisting). A top-level python loop instead measures
         the host's ~2-4 ms/call dispatch through the tunnel, not the chip
         (CLAUDE.md timing rules); production hosts issue steps back-to-back
-        with sub-0.1 ms dispatch, so the chained number is the honest one."""
+        with sub-0.1 ms dispatch, so the chained number is the honest one.
+
+        iters must be LARGE (~100): after the first device->host readback
+        the axon tunnel enters a degraded mode with a FIXED ~30 ms penalty
+        per dispatch (a no-op 20-iter chain jumps 0.1 -> 31 ms wall the
+        moment any np.asarray of a device buffer runs; H2D doesn't trigger
+        it, nothing resets it) — at iters=20 that inflated every per-step
+        number by ~1.5 ms."""
 
         @jax.jit
         def chain_loop(s):

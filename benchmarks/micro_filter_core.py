@@ -41,7 +41,7 @@ def main():
     ap.add_argument("--particles", type=int, default=50000)
     ap.add_argument("--beams", type=int, default=720)
     ap.add_argument("--map-cells", type=int, default=1024)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--regimes", default="tracking,spread")
     ap.add_argument("--what", default="ranks,stats,step")
     ap.add_argument("--platform", default=None)

@@ -38,7 +38,7 @@ def main():
     ap.add_argument("--points", type=int, default=256)
     ap.add_argument("--half", type=float, default=1.5,
                     help="cloud half-extent (m) around the map center")
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=100)
     args = ap.parse_args()
 
     import jax

@@ -35,7 +35,7 @@ def main():
     ap.add_argument("--particles", type=int, default=50000)
     ap.add_argument("--beams", type=int, default=720)
     ap.add_argument("--map-cells", type=int, default=1024)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--long-ranges", action="store_true",
                     help="uncapped realistic scan (1.5-7.9 m)")
     ap.add_argument("--what", default="t0,t1,real,prepass,sums")
