@@ -81,6 +81,12 @@ class OccupancyMap2D:
     # (sensors.planar.bake_corr_texture); rebaked on reconfigure.
     corr_psi_pad: Optional[jnp.ndarray] = None
     corr_psi_key: Optional[tuple] = None
+    # optional pre-baked recalcWeight factor texture (cell state + distance
+    # fused; sensors.planar.bake_factor_texture), tagged by the params it
+    # embeds (non_free_space_factor, non_free_space_radius). Saves the
+    # per-call full-map elementwise rebuild in sensors.planar.map_factors.
+    factor_tex: Optional[jnp.ndarray] = None
+    factor_key: Optional[tuple] = None
 
     # --- construction -----------------------------------------------------
 
@@ -231,16 +237,19 @@ class OccupancyMap2D:
 # as leaves, geometry as hashable aux data) instead of baking the textures
 # into the compiled HLO as constants.
 def _occ_flatten(m: OccupancyMap2D):
-    leaves = (m.cells, m.distances, m.range_image, m.corr_psi_pad)
+    leaves = (m.cells, m.distances, m.range_image, m.corr_psi_pad,
+              m.factor_tex)
     aux = (m.resolution, m.size_x, m.size_y, m.origin_x, m.origin_y,
            m.max_distance_to_object, m.distances is None, m.range_image is None,
-           m.corr_psi_pad is None, m.corr_psi_key)
+           m.corr_psi_pad is None, m.corr_psi_key,
+           m.factor_tex is None, m.factor_key)
     return leaves, aux
 
 
 def _occ_unflatten(aux, leaves):
-    res, sx, sy, ox, oy, maxd, no_dist, no_ri, no_psi, psi_key = aux
-    cells, distances, range_image, corr_psi_pad = leaves
+    (res, sx, sy, ox, oy, maxd, no_dist, no_ri, no_psi, psi_key,
+     no_ftex, f_key) = aux
+    cells, distances, range_image, corr_psi_pad, factor_tex = leaves
     return OccupancyMap2D(
         resolution=res, size_x=sx, size_y=sy, origin_x=ox, origin_y=oy,
         cells=cells, distances=None if no_dist else distances,
@@ -248,6 +257,8 @@ def _occ_unflatten(aux, leaves):
         range_image=None if no_ri else range_image,
         corr_psi_pad=None if no_psi else corr_psi_pad,
         corr_psi_key=psi_key,
+        factor_tex=None if no_ftex else factor_tex,
+        factor_key=f_key,
     )
 
 

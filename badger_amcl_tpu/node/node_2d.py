@@ -148,7 +148,9 @@ class Node2D(Node):
         (setModelLikelihoodField*, planar_scanner.cpp:67-113)."""
         if not self.backend.startswith("pallas_corr") or self.map is None:
             return
-        from badger_amcl_tpu.sensors.planar import CORR_MODELS, bake_corr_texture
+        from badger_amcl_tpu.sensors.planar import (
+            CORR_MODELS, bake_corr_texture, bake_factor_texture,
+        )
 
         model = self.config.laser_model_type.value
         if model not in CORR_MODELS:
@@ -160,6 +162,7 @@ class Node2D(Node):
         if getattr(self, "_corr_tex_key", None) == key:
             return
         self.map = bake_corr_texture(self.map, self._base_params, range_max, model)
+        self.map = bake_factor_texture(self.map, self._base_params)
         self._corr_tex_key = key
 
     # ------------------------------------------------------------------ map

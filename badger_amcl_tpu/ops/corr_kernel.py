@@ -91,34 +91,41 @@ def _kernel(
     col0 = meta_ref[2]
     nv = meta_ref[3]
 
-    def tap(k, _):
-        t = k // nv
-        b = k - t * nv
-        packed = off_ref[t * n_beams + b]
-        oj = jax.lax.shift_right_arithmetic(packed, 16)
-        oi = jax.lax.shift_right_arithmetic(
-            jax.lax.shift_left(packed, 16), 16
+    # Register-tile accumulation: the per-bin partial sum rides the inner
+    # fori_loop CARRY and hits corr_ref ONCE per yaw bin — the earlier
+    # per-tap `corr_ref[t] += block` read-modify-wrote 2x(rows x PWIN_C) f32
+    # of VMEM per tap, ~2/3 of the kernel's traffic (the beam kernel's
+    # register-tile lesson, measured there first).
+    def per_bin(t, _):
+        def tap(b, acc):
+            packed = off_ref[t * n_beams + b]
+            oj = jax.lax.shift_right_arithmetic(packed, 16)
+            oi = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(packed, 16), 16
+            )
+            sr = row0 + oj
+            sc = col0 + oi
+            ar = (sr // 8) * 8
+            ac = (sc // 128) * 128
+            dc = sc - ac
+            # the texture arrives as 8 row-preshifted copies: copy d holds
+            # tex[r + d] at row r, so an arbitrary row origin becomes an
+            # ALIGNED load from copy (sr - ar) — no sublane roll, no margin
+            block = tex_ref[sr - ar, pl.ds(pl.multiple_of(ar, 8), rows),
+                            pl.ds(pl.multiple_of(ac, 128), load_c)]
+            # pltpu.roll requires NON-NEGATIVE shifts; a traced negative
+            # amount silently miscompiles (verified on v5e), so the
+            # left-roll by dc is its right-roll complement.
+            block = pltpu.roll(block, (load_c - dc) % load_c, axis=1)
+            return acc + block[:, 0:PWIN_C]
+
+        acc = jax.lax.fori_loop(
+            0, nv, tap, jnp.zeros((rows, PWIN_C), jnp.float32), unroll=False
         )
-        sr = row0 + oj
-        sc = col0 + oi
-        ar = (sr // 8) * 8
-        ac = (sc // 128) * 128
-        dc = sc - ac
-        # the texture arrives as 8 row-preshifted copies: copy d holds
-        # tex[r + d] at row r, so an arbitrary row origin becomes an ALIGNED
-        # load from copy (sr - ar) — no sublane roll, no row margin
-        block = tex_ref[sr - ar, pl.ds(pl.multiple_of(ar, 8), rows),
-                        pl.ds(pl.multiple_of(ac, 128), load_c)]
-        # pltpu.roll requires NON-NEGATIVE shifts; a traced negative amount
-        # silently miscompiles (verified on v5e), so the left-roll by dc is
-        # its right-roll complement.
-        block = pltpu.roll(block, (load_c - dc) % load_c, axis=1)
-        corr_ref[pl.ds(t, 1)] = (
-            corr_ref[pl.ds(t, 1)] + block[:, 0:PWIN_C][None, :, :]
-        )
+        corr_ref[pl.ds(t, 1)] = acc[None, :, :]
         return 0
 
-    jax.lax.fori_loop(0, meta_ref[0] * nv, tap, 0, unroll=False)
+    jax.lax.fori_loop(0, meta_ref[0], per_bin, 0, unroll=False)
 
 
 @functools.partial(
@@ -166,31 +173,33 @@ def _kernel_fleet(
     col0 = meta_ref[r8, 2]
     nv = meta_ref[r8, 3]
 
-    def tap(k, _):
-        t = k // nv
-        b = k - t * nv
-        packed = off_ref[r8, t * n_beams + b]
-        oj = jax.lax.shift_right_arithmetic(packed, 16)
-        oi = jax.lax.shift_right_arithmetic(
-            jax.lax.shift_left(packed, 16), 16
+    def per_bin(t, _):
+        def tap(b, acc):
+            packed = off_ref[r8, t * n_beams + b]
+            oj = jax.lax.shift_right_arithmetic(packed, 16)
+            oi = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(packed, 16), 16
+            )
+            sr = row0 + oj
+            sc = col0 + oi
+            ar = (sr // 8) * 8
+            ac = (sc // 128) * 128
+            dr = sr - ar
+            dc = sc - ac
+            block = tex_ref[0, pl.ds(pl.multiple_of(ar, 8), load_r),
+                            pl.ds(pl.multiple_of(ac, 128), load_c)]
+            # non-negative roll complements (see _kernel)
+            block = pltpu.roll(block, (load_r - dr) % load_r, axis=0)
+            block = pltpu.roll(block, (load_c - dc) % load_c, axis=1)
+            return acc + block[0:rows, 0:PWIN_C]
+
+        acc = jax.lax.fori_loop(
+            0, nv, tap, jnp.zeros((rows, PWIN_C), jnp.float32), unroll=False
         )
-        sr = row0 + oj
-        sc = col0 + oi
-        ar = (sr // 8) * 8
-        ac = (sc // 128) * 128
-        dr = sr - ar
-        dc = sc - ac
-        block = tex_ref[0, pl.ds(pl.multiple_of(ar, 8), load_r),
-                        pl.ds(pl.multiple_of(ac, 128), load_c)]
-        # non-negative roll complements (see _kernel)
-        block = pltpu.roll(block, (load_r - dr) % load_r, axis=0)
-        block = pltpu.roll(block, (load_c - dc) % load_c, axis=1)
-        corr_ref[0, pl.ds(t, 1)] = (
-            corr_ref[0, pl.ds(t, 1)] + block[0:rows, 0:PWIN_C][None, :, :]
-        )
+        corr_ref[0, pl.ds(t, 1)] = acc[None, :, :]
         return 0
 
-    jax.lax.fori_loop(0, meta_ref[r8, 0] * nv, tap, 0, unroll=False)
+    jax.lax.fori_loop(0, meta_ref[r8, 0], per_bin, 0, unroll=False)
 
 
 @functools.partial(

@@ -315,39 +315,53 @@ def pc_spread_prepass(omap, poses, points_base):
     ct_lo, ct_hi = tile_iv(ct)
     st_lo, st_hi = tile_iv(st)
 
-    A2 = pts["A"].reshape(g_groups, GRP3)
-    B2 = pts["B"].reshape(g_groups, GRP3)
-    v2 = pts["valid"].reshape(g_groups, GRP3)
+    A1 = pts["A"]  # (P_pad,) per-point scalars
+    B1 = pts["B"]
+    v1 = pts["valid"]
+    v2 = v1.reshape(g_groups, GRP3)
     fbig = jnp.float32(1e9)
-
-    def group_iv(v):
-        return (jnp.min(jnp.where(v2, v, fbig), axis=1),
-                jnp.max(jnp.where(v2, v, -fbig), axis=1))
-
-    a_lo, a_hi = group_iv(A2)
-    b_lo, b_hi = group_iv(B2)
     empty = ~jnp.any(v2, axis=1)[:, None] & jnp.ones((1, n_tiles), bool)
 
-    def iprod(alo, ahi, blo, bhi):
-        p1 = alo[:, None] * blo[None, :]
-        p2 = alo[:, None] * bhi[None, :]
-        p3 = ahi[:, None] * blo[None, :]
-        p4 = ahi[:, None] * bhi[None, :]
-        return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
-                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+    # Per-POINT x per-tile interval products, then min/max reduced over each
+    # group's points (the 2D spread kernel's fix, same reasoning): bounding
+    # (A, B) by the group's rectangle first pairs one point's A with
+    # another's B — phantom corners that dilate the bbox up to ~sqrt(2)*r
+    # when radii vary within an azimuth bucket. Per-point products keep only
+    # the (ct, st) yaw-box slop (~r*w^2/8 cells).
+    def bprod(s_b, lo_t, hi_t):  # (P,) scalar x (T,) interval -> (P, T)
+        p1 = s_b[:, None] * lo_t[None, :]
+        p2 = s_b[:, None] * hi_t[None, :]
+        return jnp.minimum(p1, p2), jnp.maximum(p1, p2)
 
-    cc_lo, cc_hi = iprod(a_lo, a_hi, ct_lo, ct_hi)  # A * ct
-    ss_lo, ss_hi = iprod(b_lo, b_hi, st_lo, st_hi)  # B * st
-    sc_lo, sc_hi = iprod(b_lo, b_hi, ct_lo, ct_hi)  # B * ct
-    cs_lo, cs_hi = iprod(a_lo, a_hi, st_lo, st_hi)  # A * st
-    fx_lo = pxc_lo[None, :] + cc_lo - ss_hi
-    fx_hi = pxc_hi[None, :] + cc_hi - ss_lo
-    fy_lo = pyc_lo[None, :] + sc_lo + cs_lo
-    fy_hi = pyc_hi[None, :] + sc_hi + cs_hi
-    ci_min = jnp.clip(jnp.floor(fx_lo), 0, nx - 1).astype(jnp.int32) - 1
-    ci_max = jnp.clip(jnp.floor(fx_hi), 0, nx - 1).astype(jnp.int32) + 1
-    cj_min = jnp.clip(jnp.floor(fy_lo), 0, ny - 1).astype(jnp.int32) - 1
-    cj_max = jnp.clip(jnp.floor(fy_hi), 0, ny - 1).astype(jnp.int32) + 1
+    cc_lo, cc_hi = bprod(A1, ct_lo, ct_hi)  # A * ct
+    ss_lo, ss_hi = bprod(B1, st_lo, st_hi)  # B * st
+    sc_lo, sc_hi = bprod(B1, ct_lo, ct_hi)  # B * ct
+    cs_lo, cs_hi = bprod(A1, st_lo, st_hi)  # A * st
+
+    def group_reduce(v, sentinel, op):  # (P, T) -> (G, T) over valid points
+        v = jnp.where(v1[:, None], v, sentinel)
+        return op(v.reshape(g_groups, GRP3, n_tiles), axis=1)
+
+    ex_lo = group_reduce(cc_lo - ss_hi, fbig, jnp.min)
+    ex_hi = group_reduce(cc_hi - ss_lo, -fbig, jnp.max)
+    ey_lo = group_reduce(sc_lo + cs_lo, fbig, jnp.min)
+    ey_hi = group_reduce(sc_hi + cs_hi, -fbig, jnp.max)
+    fx_lo = pxc_lo[None, :] + ex_lo
+    fx_hi = pxc_hi[None, :] + ex_hi
+    fy_lo = pyc_lo[None, :] + ey_lo
+    fy_hi = pyc_hi[None, :] + ey_hi
+    # dilate by the 1-cell fp margin BEFORE clamping to the grid: dilating
+    # after pushed edge-touching mins to -1, which no clipped window origin
+    # (>= 0) can satisfy, so every bbox touching the left/top edge escaped
+    # (the 2D kernel's wall-adjacent-cloud bug, fixed identically there).
+    fx_lo_c = jnp.clip(jnp.floor(fx_lo) - 1, -fbig, fbig).astype(jnp.int32)
+    fx_hi_c = jnp.clip(jnp.floor(fx_hi) + 1, -fbig, fbig).astype(jnp.int32)
+    fy_lo_c = jnp.clip(jnp.floor(fy_lo) - 1, -fbig, fbig).astype(jnp.int32)
+    fy_hi_c = jnp.clip(jnp.floor(fy_hi) + 1, -fbig, fbig).astype(jnp.int32)
+    ci_min = jnp.clip(fx_lo_c, 0, nx - 1)
+    ci_max = jnp.clip(fx_hi_c, 0, nx - 1)
+    cj_min = jnp.clip(fy_lo_c, 0, ny - 1)
+    cj_max = jnp.clip(fy_hi_c, 0, ny - 1)
 
     def tier_fit(rows, cols, load_c):
         c_hi = ((nx - load_c) // 128) * 128 + (load_c - cols)

@@ -349,44 +349,61 @@ def spread_prepass(omap, spose, ranges, angles, valid):
     rpad = jnp.pad(ranges.astype(jnp.float32), (0, b_pad - b))
     apad = jnp.pad(angles.astype(jnp.float32), (0, b_pad - b))
     vpad = jnp.pad(valid, (0, b_pad - b))
-    rca = (rpad * jnp.cos(apad) * inv_res).reshape(g_groups, grp)
-    rsa = (rpad * jnp.sin(apad) * inv_res).reshape(g_groups, grp)
+    rca_b = rpad * jnp.cos(apad) * inv_res  # (b_pad,) per-beam scalars
+    rsa_b = rpad * jnp.sin(apad) * inv_res
     vg2 = vpad.reshape(g_groups, grp)
     fbig = jnp.float32(1e9)
-
-    def group_iv(v):  # valid-beam min/max per group -> ((G,), (G,))
-        return (jnp.min(jnp.where(vg2, v, fbig), axis=1),
-                jnp.max(jnp.where(vg2, v, -fbig), axis=1))
-
-    rca_lo, rca_hi = group_iv(rca)
-    rsa_lo, rsa_hi = group_iv(rsa)
     empty = ~jnp.any(vg2, axis=1)[:, None] & jnp.ones(
         (1, n_tiles), bool)  # (G, n_tiles)
 
-    def iprod(alo, ahi, blo, bhi):
-        """Interval product bounds: (G, 1) x (1, n_tiles) -> (G, n_tiles)."""
-        p1 = alo[:, None] * blo[None, :]
-        p2 = alo[:, None] * bhi[None, :]
-        p3 = ahi[:, None] * blo[None, :]
-        p4 = ahi[:, None] * bhi[None, :]
-        return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
-                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+    # Per-BEAM x per-tile interval products, then a min/max reduce over each
+    # group's beams. (rca_b, rsa_b) are scalars per beam, so the only slop
+    # left is the (ct, st) box around the tile's yaw arc (~r*w^2/8, a few
+    # cells). The earlier per-GROUP formulation bounded (rca, rsa) by the
+    # group's r-range rectangle first — when ranges vary widely inside one
+    # group (wall-adjacent scans: 2 m hits next to 8 m misses), its phantom
+    # corners (r_hi*cos paired with r_hi*sin) dilated bboxes up to ~sqrt(2)*r
+    # past even the giant tier and sent most pairs to the escape arm
+    # (measured: 10990 escapes -> full fallback on the wall-adjacent parity
+    # cloud). Cost stays O(B x n_tiles), 128x below a per-particle pass.
+    def bprod(s_b, lo_t, hi_t):  # (B,) scalar x (T,) interval -> (B, T)
+        p1 = s_b[:, None] * lo_t[None, :]
+        p2 = s_b[:, None] * hi_t[None, :]
+        return jnp.minimum(p1, p2), jnp.maximum(p1, p2)
 
-    cc_lo, cc_hi = iprod(rca_lo, rca_hi, ct_lo, ct_hi)  # rca * ct
-    ss_lo, ss_hi = iprod(rsa_lo, rsa_hi, st_lo, st_hi)  # rsa * st
-    sc_lo, sc_hi = iprod(rsa_lo, rsa_hi, ct_lo, ct_hi)  # rsa * ct
-    cs_lo, cs_hi = iprod(rca_lo, rca_hi, st_lo, st_hi)  # rca * st
-    fx_lo = pxc_lo[None, :] + cc_lo - ss_hi
-    fx_hi = pxc_hi[None, :] + cc_hi - ss_lo
-    fy_lo = pyc_lo[None, :] + sc_lo + cs_lo
-    fy_hi = pyc_hi[None, :] + sc_hi + cs_hi
+    cc_lo, cc_hi = bprod(rca_b, ct_lo, ct_hi)  # rca * ct
+    ss_lo, ss_hi = bprod(rsa_b, st_lo, st_hi)  # rsa * st
+    sc_lo, sc_hi = bprod(rsa_b, ct_lo, ct_hi)  # rsa * ct
+    cs_lo, cs_hi = bprod(rca_b, st_lo, st_hi)  # rca * st
+
+    def group_reduce(v, sentinel, op):  # (B, T) -> (G, T) over valid beams
+        v = jnp.where(vpad[:, None], v, sentinel)
+        return op(v.reshape(g_groups, grp, n_tiles), axis=1)
+
+    ex_lo = group_reduce(cc_lo - ss_hi, fbig, jnp.min)
+    ex_hi = group_reduce(cc_hi - ss_lo, -fbig, jnp.max)
+    ey_lo = group_reduce(sc_lo + cs_lo, fbig, jnp.min)
+    ey_hi = group_reduce(sc_hi + cs_hi, -fbig, jnp.max)
+    fx_lo = pxc_lo[None, :] + ex_lo
+    fx_hi = pxc_hi[None, :] + ex_hi
+    fy_lo = pyc_lo[None, :] + ey_lo
+    fy_hi = pyc_hi[None, :] + ey_hi
     big = jnp.int32(1 << 30)
-    # floor + clamp to the map (off-map endpoints are masked in-kernel),
-    # dilated by the 1-cell fp margin
-    ci_min = jnp.clip(jnp.floor(fx_lo), 0, omap.size_x - 1).astype(jnp.int32) - 1
-    ci_max = jnp.clip(jnp.floor(fx_hi), 0, omap.size_x - 1).astype(jnp.int32) + 1
-    cj_min = jnp.clip(jnp.floor(fy_lo), 0, omap.size_y - 1).astype(jnp.int32) - 1
-    cj_max = jnp.clip(jnp.floor(fy_hi), 0, omap.size_y - 1).astype(jnp.int32) + 1
+    # floor, dilate by the 1-cell fp margin, THEN clamp to the map (off-map
+    # endpoints are masked to max_dist in-kernel, so the window only needs
+    # the on-map part of the bbox). Dilating after the clamp pushed edge-
+    # touching mins to -1, which no clipped window origin (>= 0) can
+    # satisfy — every bbox touching the left/top map edge escaped (measured:
+    # 10990 escapes -> full fallback on a wall-adjacent global-loc cloud
+    # whose beams half-exit the map).
+    fx_lo_c = jnp.clip(jnp.floor(fx_lo) - 1, -fbig, fbig).astype(jnp.int32)
+    fx_hi_c = jnp.clip(jnp.floor(fx_hi) + 1, -fbig, fbig).astype(jnp.int32)
+    fy_lo_c = jnp.clip(jnp.floor(fy_lo) - 1, -fbig, fbig).astype(jnp.int32)
+    fy_hi_c = jnp.clip(jnp.floor(fy_hi) + 1, -fbig, fbig).astype(jnp.int32)
+    ci_min = jnp.clip(fx_lo_c, 0, omap.size_x - 1)
+    ci_max = jnp.clip(fx_hi_c, 0, omap.size_x - 1)
+    cj_min = jnp.clip(fy_lo_c, 0, omap.size_y - 1)
+    cj_max = jnp.clip(fy_hi_c, 0, omap.size_y - 1)
 
     def tier_fit(rows, cols, load_c):
         """Packed (clipped + aligned) origins, then the fit predicates

@@ -474,14 +474,24 @@ def _beam_model(omap, params, scan, spose, backend="xla"):
     return 1.0 + jnp.sum(pz * pz * pz, axis=1)
 
 
-def map_factors(omap: OccupancyMap2D, params: PlanarScanParams, poses):
-    """recalcWeight (planar_scanner.cpp:642-682): multiplicative penalty per
-    particle — off-map, non-free-space, or radius-interpolated.
+def factor_fingerprint(params: PlanarScanParams):
+    """Everything the baked factor texture embeds (off_map_factor is applied
+    per-particle outside the texture). None when traced (can't fingerprint)."""
+    try:
+        return (float(params.non_free_space_factor),
+                float(params.non_free_space_radius))
+    except Exception:
+        return None
 
-    The per-cell factor is precombined into ONE texture (cell state and
-    distance fused elementwise — ~0.1 ms at 1024²) so each particle costs a
-    single texture gather instead of two; TPU random gathers are the cost
-    unit here (PERF.md), so this halves the recalcWeight phase."""
+
+def _factor_texture(omap: OccupancyMap2D, params: PlanarScanParams):
+    """The recalcWeight per-cell factor texture: cell state and distance
+    fused elementwise so each particle costs ONE read (not two). Uses the
+    baked copy (bake_factor_texture) when its fingerprint matches."""
+    want = factor_fingerprint(params)
+    if omap.factor_tex is not None and want is not None \
+            and omap.factor_key == want:
+        return omap.factor_tex
     nf = params.non_free_space_factor
     interp = jnp.where(
         omap.distances < params.non_free_space_radius,
@@ -489,15 +499,81 @@ def map_factors(omap: OccupancyMap2D, params: PlanarScanParams, poses):
         * (1.0 - nf),
         1.0,
     )
-    factor_tex = jnp.where(
+    return jnp.where(
         omap.cells != jnp.int8(CellState.FREE), nf, interp
     ).astype(jnp.float32)
+
+
+def bake_factor_texture(omap: OccupancyMap2D,
+                        params: PlanarScanParams) -> OccupancyMap2D:
+    """Pre-bake the recalcWeight factor texture — one-shot per (map, params)
+    like the psi bake. The node layer re-bakes on map receipt/reconfigure."""
+    import dataclasses
+
+    if omap.distances is None:
+        return dataclasses.replace(omap, factor_tex=None, factor_key=None)
+    key = factor_fingerprint(params)
+    if key is None:
+        return dataclasses.replace(omap, factor_tex=None, factor_key=None)
+    tex = _factor_texture(
+        dataclasses.replace(omap, factor_tex=None, factor_key=None), params)
+    return dataclasses.replace(omap, factor_tex=tex, factor_key=key)
+
+
+# factor window for the tight-cloud one-hot read (map_factors fast path)
+FWIN_R = 32
+FWIN_C = 128
+
+
+def map_factors(omap: OccupancyMap2D, params: PlanarScanParams, poses):
+    """recalcWeight (planar_scanner.cpp:642-682): multiplicative penalty per
+    particle — off-map, non-free-space, or radius-interpolated.
+
+    Two paths, identical results:
+    - tight clouds (all particle cells inside one FWIN_R x FWIN_C window —
+      every tracking step): dynamic-slice the window and read it with a
+      one-hot row matmul + lane col-pick; M-sized gathers from small tables
+      lower to ~7.5 ns/element scalar loops on TPU (PERF.md) and this
+      replaces the single biggest non-kernel block of the tracking step.
+    - otherwise: the classic per-particle texture gather.
+    The one-hot matmul runs at Precision.HIGHEST: TPU DEFAULT truncates the
+    factor values to bf16 (the mxu_gather lesson) and both paths must agree
+    bit-for-bit."""
+    import jax
+
+    factor_tex = _factor_texture(omap, params)
     ij = omap.world_to_map(poses[:, :2])
     valid = omap.is_valid(ij)
     ci = jnp.clip(ij[..., 0], 0, omap.size_x - 1)
     cj = jnp.clip(ij[..., 1], 0, omap.size_y - 1)
-    f = jnp.take(factor_tex.reshape(-1), cj * omap.size_x + ci)
-    return jnp.where(valid, f, params.off_map_factor)
+
+    def classic(_):
+        f = jnp.take(factor_tex.reshape(-1), cj * omap.size_x + ci)
+        return jnp.where(valid, f, params.off_map_factor)
+
+    if (poses.ndim != 2 or omap.size_y < FWIN_R or omap.size_x < FWIN_C):
+        return classic(None)
+
+    i0 = jnp.clip(jnp.min(ci), 0, omap.size_x - FWIN_C)
+    j0 = jnp.clip(jnp.min(cj), 0, omap.size_y - FWIN_R)
+    fits = (jnp.max(ci) - i0 < FWIN_C) & (jnp.max(cj) - j0 < FWIN_R)
+
+    def windowed(_):
+        win = jax.lax.dynamic_slice(factor_tex, (j0, i0), (FWIN_R, FWIN_C))
+
+        dj = cj - j0
+        di = ci - i0
+        ohr = (dj[:, None] == jnp.arange(FWIN_R, dtype=dj.dtype)[None, :])
+        rows = jax.lax.dot_general(
+            ohr.astype(jnp.float32), win,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (M, FWIN_C)
+        ohc = di[:, None] == jnp.arange(FWIN_C, dtype=di.dtype)[None, :]
+        f = jnp.sum(jnp.where(ohc, rows, 0.0), axis=1)
+        return jnp.where(valid, f, params.off_map_factor)
+
+    return jax.lax.cond(fits, windowed, classic, operand=None)
 
 
 def planar_likelihood(

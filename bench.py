@@ -88,12 +88,24 @@ def main():
             return s.replace(poses=s.poses + (p * 1e-12)[:, None])
 
         t_like, _ = timed_chain(like_step, state, args.iters)
-        t_step, s_end = timed_chain(
-            lambda s: mcl.sensor_resample_step_jit(
+
+        # Chaining real steps would collapse a spread cloud after the first
+        # resample (later iterations measure tracking, not spread), so every
+        # iteration runs the full step and then restores the regime's pose
+        # cloud — perturbed by the step output to keep the data dependency.
+        poses0 = state.poses
+
+        def pinned_step(s):
+            s2 = mcl.sensor_resample_step_jit(
                 s, omap, scan_params, scan, pool, params, backend=backend
-            ),
-            state, args.iters,
-        )
+            )
+            return s2.replace(
+                poses=poses0 + jnp.mean(s2.poses) * 1e-12,
+                weights=jnp.full_like(s2.weights, 1.0 / args.particles),
+                n_active=jnp.int32(args.particles),
+            )
+
+        t_step, s_end = timed_chain(pinned_step, state, args.iters)
         results[regime] = {
             "likelihood_ms": t_like * 1e3,
             "step_ms": t_step * 1e3,

@@ -53,7 +53,7 @@ def main():
     out["trace"] = trace
 
     # time the full step in a fori chain from state AND from evolved s
-    def timed(fn, x0, iters=10):
+    def timed(fn, x0, iters=100):
         @jax.jit
         def loop(x):
             return jax.lax.fori_loop(0, iters, lambda i, v: fn(v), x)

@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, ".")
 
 
-def timed(fn, state0, iters=20):
+def timed(fn, state0, iters=100):
     import jax
 
     @jax.jit

@@ -15,7 +15,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def timed(fn, x0, iters=10):
+def timed(fn, x0, iters=100):
     import jax
 
     @jax.jit

@@ -15,7 +15,7 @@ import time
 sys.path.insert(0, ".")
 
 
-def timed(fn, state0, iters=20):
+def timed(fn, state0, iters=100):
     """Device time per call: the whole chain runs inside ONE jit'd fori_loop
     (each phase fn is state -> state, so the data dependency defeats
     loop-invariant hoisting), amortizing the ~1.7 ms tunnel dispatch."""
@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--map-cells", type=int, default=1024)
     ap.add_argument("--regime", default="tracking",
                     choices=["steady", "tracking", "spread"])
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 

@@ -13,7 +13,7 @@ import time
 sys.path.insert(0, ".")
 
 
-def timed(fn, x0, iters=10):
+def timed(fn, x0, iters=100):
     import jax
 
     @jax.jit

@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _time_chain(step, state, iters=10):
+def _time_chain(step, state, iters=100):
     import jax
 
     s = step(state)
@@ -64,7 +64,7 @@ def bench_2d_beam(backend):
         lambda s: mcl.sensor_resample_step_jit(
             s, omap, sp, scan, pool, params, laser_model="beam", backend=backend
         ),
-        state, iters=3,
+        state, iters=30,
     )
     return {"config": "2d_beam_5000x720", "step_ms": dt * 1e3,
             "evals_per_sec": 5000 * 720 / dt}
@@ -82,7 +82,7 @@ def bench_kld_sweep(backend):
         dt, s_end = _time_chain(
             lambda s: mcl.sensor_resample_step_jit(s, omap, sp, scan, pool, params,
                                                    backend=backend),
-            state, iters=5,
+            state, iters=20,
         )
         import jax
 

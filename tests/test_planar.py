@@ -234,3 +234,47 @@ def test_map_factors(box_map):
     d3 = float(box_map.distance_at(box_map.world_to_map(poses[3, :2])))
     assert d3 < 0.4
     np.testing.assert_allclose(f[3], 0.3 + (d3 / 0.4) * 0.7, rtol=1e-5)
+
+
+def test_map_factors_windowed_matches_classic(box_map):
+    """The tight-cloud one-hot window path must agree bit-for-bit with the
+    per-particle gather path (sensors/planar.py map_factors), baked or not."""
+    import jax
+
+    from badger_amcl_tpu.sensors.planar import bake_factor_texture
+
+    params = PlanarScanParams(
+        off_map_factor=jnp.float32(0.1),
+        non_free_space_factor=jnp.float32(0.3),
+        non_free_space_radius=jnp.float32(0.4),
+    )
+    rng = np.random.default_rng(7)
+    # tight cloud near the pillar: cells span << (FWIN_R, FWIN_C)
+    poses = jnp.asarray(
+        np.stack([rng.uniform(0.3, 0.9, 256), rng.uniform(-0.3, 0.3, 256),
+                  rng.uniform(-3, 3, 256)], axis=1), jnp.float32)
+
+    f_win = np.asarray(map_factors(box_map, params, poses))
+
+    # force the classic path by spreading one particle far away (window
+    # cannot fit) and compare the shared prefix
+    poses_wide = jnp.concatenate(
+        [poses, jnp.array([[-4.5, -4.5, 0.0]], jnp.float32)])
+    f_classic = np.asarray(map_factors(box_map, params, poses_wide))[:-1]
+    np.testing.assert_array_equal(f_win, f_classic)
+
+    # baked texture path: identical values
+    baked = bake_factor_texture(box_map, params)
+    assert baked.factor_tex is not None
+    f_baked = np.asarray(map_factors(baked, params, poses))
+    np.testing.assert_array_equal(f_win, f_baked)
+
+    # stale-params fingerprint: a different radius must NOT ride the bake
+    params2 = params.replace(non_free_space_radius=jnp.float32(0.8))
+    f2 = np.asarray(map_factors(baked, params2, poses))
+    f2_ref = np.asarray(map_factors(box_map, params2, poses))
+    np.testing.assert_array_equal(f2, f2_ref)
+
+    # under jit too (cond trace)
+    f_jit = np.asarray(jax.jit(map_factors)(baked, params, poses))
+    np.testing.assert_array_equal(f_jit, f_win)

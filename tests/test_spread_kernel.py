@@ -207,3 +207,34 @@ def test_unsort_roundtrip():
     # sorted values are vals[perm]; unsort must restore original order
     restored = spread_kernel.unsort(vals[perm], pre)
     np.testing.assert_array_equal(np.asarray(restored), np.asarray(vals))
+
+
+def test_wall_adjacent_cloud_stays_in_envelope():
+    """A global-loc cloud beside a map wall shoots half its beams off-map;
+    bbox clamping must not send edge-touching pairs to the escape arm
+    (dilate-before-clip + per-beam interval products, spread_kernel.py).
+    Regression: this geometry fell back wholesale (10990 escapes)."""
+    import numpy as np
+
+    from __graft_entry__ import _build_setup
+    from badger_amcl_tpu.ops import spread_kernel as sk
+    from badger_amcl_tpu.sensors import raycast
+    from badger_amcl_tpu.sensors.planar import coord_add
+
+    mean = (-23.0, 0.0, 2.6)
+    omap, params, state, scan, scan_params, pool = _build_setup(
+        20_000, 720, 1024, pose_cov=(2.0, 2.0, 1.0), min_particles=20_000,
+        pose_mean=mean)
+    mean_a = jnp.asarray(mean, jnp.float32)
+    rc = raycast.calc_range(
+        omap, mean_a[0:1], mean_a[1:2], (mean_a[2] + scan.angles)[None, :],
+        scan.range_max)[0]
+    scan = scan.replace(ranges=jnp.clip(rc, 0.2, 7.9).astype(jnp.float32))
+    spose = coord_add(scan_params.scanner_pose, state.poses)
+    valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
+    pre = sk.spread_prepass(omap, spose, scan.ranges, scan.angles, valid)
+    assert bool(pre["fits"])
+    flags = np.asarray(pre["flags"])
+    n_esc = int((flags == 3).sum())
+    total = int(flags.size)
+    assert n_esc <= sk.CAP_PAIRS, (n_esc, total)
