@@ -26,7 +26,9 @@ Performance structure (v2):
   the kernel as one vectorized (T_MAX, B) trig pass, packed as int16 pairs
   into int32, and read from SMEM — no scalar cos/sin/round per tap.
 - Occupied yaw bins and valid beams are *compacted* (argsort) before the
-  kernel, so the tap loop runs exactly t_n x nv iterations with no branches.
+  kernel, so the tap loop runs exactly t_n x nv iterations with no branches,
+  8 independent taps per iteration (the load->roll chains overlap; 1-wide
+  measured 1.56 ms, 8-wide 0.73 ms at 42 bins x 720 beams).
 - Three window heights are compiled (tight 24 / narrow 32 / standard 64
   rows); lax.cond picks the smallest the particle row span allows — a
   converged cloud's taps then move ~60% fewer bytes per tap.
@@ -97,7 +99,7 @@ def _kernel(
     # of VMEM per tap, ~2/3 of the kernel's traffic (the beam kernel's
     # register-tile lesson, measured there first).
     def per_bin(t, _):
-        def tap(b, acc):
+        def one_tap(b):
             packed = off_ref[t * n_beams + b]
             oj = jax.lax.shift_right_arithmetic(packed, 16)
             oi = jax.lax.shift_right_arithmetic(
@@ -117,10 +119,28 @@ def _kernel(
             # amount silently miscompiles (verified on v5e), so the
             # left-roll by dc is its right-roll complement.
             block = pltpu.roll(block, (load_c - dc) % load_c, axis=1)
-            return acc + block[:, 0:PWIN_C]
+            return block[:, 0:PWIN_C]
+
+        # W independent taps per iteration: amortizes loop overhead and lets
+        # the load->roll chains overlap (1-wide 1.56 ms -> 2-wide 1.22 ->
+        # 8-wide 0.83 at 42 bins x 720 beams). The mask-free main loop
+        # covers nv//W full batches; a 1-wide dynamic tail loop takes the
+        # remainder, so no select runs in the hot loop.
+        W = 8
+
+        def tapw(k, acc):
+            b = W * k
+            for d in range(W):
+                acc = acc + one_tap(b + d)
+            return acc
 
         acc = jax.lax.fori_loop(
-            0, nv, tap, jnp.zeros((rows, PWIN_C), jnp.float32), unroll=False
+            0, nv // W, tapw,
+            jnp.zeros((rows, PWIN_C), jnp.float32), unroll=False,
+        )
+        acc = jax.lax.fori_loop(
+            (nv // W) * W, nv, lambda b, a: a + one_tap(b), acc,
+            unroll=False,
         )
         corr_ref[pl.ds(t, 1)] = acc[None, :, :]
         return 0
@@ -174,7 +194,7 @@ def _kernel_fleet(
     nv = meta_ref[r8, 3]
 
     def per_bin(t, _):
-        def tap(b, acc):
+        def one_tap(b):
             packed = off_ref[r8, t * n_beams + b]
             oj = jax.lax.shift_right_arithmetic(packed, 16)
             oi = jax.lax.shift_right_arithmetic(
@@ -191,10 +211,24 @@ def _kernel_fleet(
             # non-negative roll complements (see _kernel)
             block = pltpu.roll(block, (load_r - dr) % load_r, axis=0)
             block = pltpu.roll(block, (load_c - dc) % load_c, axis=1)
-            return acc + block[0:rows, 0:PWIN_C]
+            return block[0:rows, 0:PWIN_C]
+
+        # W-wide mask-free main loop + 1-wide dynamic tail (see _kernel)
+        W = 8
+
+        def tapw(k, acc):
+            b = W * k
+            for d in range(W):
+                acc = acc + one_tap(b + d)
+            return acc
 
         acc = jax.lax.fori_loop(
-            0, nv, tap, jnp.zeros((rows, PWIN_C), jnp.float32), unroll=False
+            0, nv // W, tapw,
+            jnp.zeros((rows, PWIN_C), jnp.float32), unroll=False,
+        )
+        acc = jax.lax.fori_loop(
+            (nv // W) * W, nv, lambda b, a: a + one_tap(b), acc,
+            unroll=False,
         )
         corr_ref[0, pl.ds(t, 1)] = acc[None, :, :]
         return 0
@@ -351,6 +385,12 @@ def corr_prepass(omap, spose, ranges, angles, valid):
     )
     ranges_c = ranges.astype(jnp.float32)[b_order]
     angles_c = angles.astype(jnp.float32)[b_order]
+    # zero the compacted TAIL (invalid beams): defensive — the kernels stop
+    # at nv, but sane tail offsets cost nothing and keep any future static-
+    # bound variant from reading NaN-derived garbage origins
+    tail_ok = jnp.arange(nb, dtype=jnp.int32) < nv
+    ranges_c = jnp.where(tail_ok, ranges_c, 0.0)
+    angles_c = jnp.where(tail_ok, angles_c, 0.0)
 
     # packed integer offsets for every (compacted bin, compacted beam):
     # one vectorized (T_MAX, B) trig pass replaces per-tap scalar trig

@@ -104,14 +104,24 @@ def _ranks_grid_path(flat, active, shape):
     return rank_p, cluster_count
 
 
+# Compact CC grid for tight clouds: when the unique bins' (x, y) spans fit,
+# the roll-dilation/labeling runs on a 32 x 32 x 40 grid (160 KB/roll)
+# instead of the full hist grid (10 MB/roll at the 256 x 256 x 40 default).
+# Root ranks are IDENTICAL either way: the recode is a monotone per-axis
+# shift, so lexicographic root order (and hence the cumsum rank) and the
+# min-label components are preserved.
+SMALL_GRID = (32, 32, 40)
+
+
 def _ranks_sorted_path(sb, shape):
     """Per-particle cluster ranks from the pre-sorted bin structure
     (round 3): partition the <= MAX_UNIQUE_BINS unique bins to the front,
-    scatter only those into the occupancy grid, gather label->rank for
-    those only, broadcast back to particles through the tiny table (one-hot
-    MXU), restore draw order with a second sort. All M-sized steps are
-    sorts/scans/matmuls — no M-sized scatter or gather. ~0.9 ms at 50k vs
-    ~2 ms for the grid path (benchmarks/micro_sort_core.py)."""
+    scatter only those into the occupancy grid (compact SMALL_GRID when the
+    cloud's bin spans fit, the full hist grid otherwise), gather label->rank
+    for those only, broadcast back to particles through the tiny table
+    (one-hot MXU), restore draw order with a second sort. All M-sized steps
+    are sorts/scans/matmuls — no M-sized scatter or gather. ~0.9 ms at 50k
+    vs ~2 ms for the grid path (benchmarks/micro_sort_core.py)."""
     gx, gy, ga = shape
     n_cells = gx * gy * ga
     u = MAX_UNIQUE_BINS
@@ -120,13 +130,54 @@ def _ranks_sorted_path(sb, shape):
     # partition: unique keys to the front, in first-seen (ascending) order
     pk = jnp.where(segstart, 0, 1).astype(jnp.int32)
     _, ks_c = jax.lax.sort((pk, ks), num_keys=1, is_stable=True)
-    # entries past the unique count are duplicates of occupied bins (or the
-    # BIG inactive sentinel, dropped): re-setting True is harmless
-    occ = jnp.zeros((n_cells,), bool).at[ks_c[:u]].set(True, mode="drop")
-    labels_grid, rank_grid, cluster_count = _label_grid_machinery(occ, shape)
-    uk = jnp.clip(ks_c[:u], 0, n_cells - 1)
-    lab_u = labels_grid[uk]
-    rank_u = rank_grid[jnp.clip(lab_u, 0, n_cells - 1)]
+    uk_raw = ks_c[:u]
+    valid_u = uk_raw < kld.BIG
+    # decode the (a, x, y) grid coordinates from the big-grid flat encoding
+    a_u = uk_raw // (gx * gy)
+    rem = uk_raw - a_u * (gx * gy)
+    x_u = rem // gy
+    y_u = rem - x_u * gy
+
+    def axis_iv(v):
+        return (jnp.min(jnp.where(valid_u, v, kld.BIG)),
+                jnp.max(jnp.where(valid_u, v, -kld.BIG)))
+
+    x_lo, x_hi = axis_iv(x_u)
+    y_lo, y_hi = axis_iv(y_u)
+    a_lo, a_hi = axis_iv(a_u)
+    gsx, gsy, gsa = SMALL_GRID
+    fits_small = (
+        (x_hi - x_lo <= gsx - 3) & (y_hi - y_lo <= gsy - 3)
+        & (a_hi - a_lo <= gsa - 3)
+    )
+
+    def small(_):
+        xs = jnp.clip(x_u - x_lo + 1, 0, gsx - 2)
+        ys = jnp.clip(y_u - y_lo + 1, 0, gsy - 2)
+        as_ = jnp.clip(a_u - a_lo + 1, 0, gsa - 2)
+        flat_s = (as_ * gsx + xs) * gsy + ys
+        n_s = gsx * gsy * gsa
+        occ = jnp.zeros((n_s,), bool).at[
+            jnp.where(valid_u, flat_s, n_s)
+        ].set(True, mode="drop")
+        labels_grid, rank_grid, cluster_count = _label_grid_machinery(
+            occ, SMALL_GRID)
+        lab_u = labels_grid[jnp.clip(flat_s, 0, n_s - 1)]
+        rank_u = rank_grid[jnp.clip(lab_u, 0, n_s - 1)]
+        return rank_u, cluster_count
+
+    def big(_):
+        # entries past the unique count are duplicates of occupied bins (or
+        # the BIG inactive sentinel, dropped): re-setting True is harmless
+        occ = jnp.zeros((n_cells,), bool).at[uk_raw].set(True, mode="drop")
+        labels_grid, rank_grid, cluster_count = _label_grid_machinery(
+            occ, shape)
+        uk = jnp.clip(uk_raw, 0, n_cells - 1)
+        lab_u = labels_grid[uk]
+        rank_u = rank_grid[jnp.clip(lab_u, 0, n_cells - 1)]
+        return rank_u, cluster_count
+
+    rank_u, cluster_count = jax.lax.cond(fits_small, small, big, operand=None)
     # per-particle (sorted order) rank via the tiny table, then restore
     from badger_amcl_tpu.ops import mxu_gather
 
