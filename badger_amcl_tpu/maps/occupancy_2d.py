@@ -81,6 +81,13 @@ class OccupancyMap2D:
     # (sensors.planar.bake_corr_texture); rebaked on reconfigure.
     corr_psi_pad: Optional[jnp.ndarray] = None
     corr_psi_key: Optional[tuple] = None
+    # optional int8 ratio-quantized twin of corr_psi_pad (own 224-row
+    # padding; ops/corr_kernel.py build_tex_pad_q) with its dequantization
+    # constants (qstep, qoff) — shares corr_psi_key's fingerprint. The 2D
+    # twin of the reference's uint8 3D distance quantization
+    # (octomap.cpp:328-332).
+    corr_psi_pad_q: Optional[jnp.ndarray] = None
+    corr_psi_q: Optional[tuple] = None
     # optional pre-baked recalcWeight factor texture (cell state + distance
     # fused; sensors.planar.bake_factor_texture), tagged by the params it
     # embeds (non_free_space_factor, non_free_space_radius). Saves the
@@ -238,18 +245,20 @@ class OccupancyMap2D:
 # into the compiled HLO as constants.
 def _occ_flatten(m: OccupancyMap2D):
     leaves = (m.cells, m.distances, m.range_image, m.corr_psi_pad,
-              m.factor_tex)
+              m.corr_psi_pad_q, m.corr_psi_q, m.factor_tex)
     aux = (m.resolution, m.size_x, m.size_y, m.origin_x, m.origin_y,
            m.max_distance_to_object, m.distances is None, m.range_image is None,
            m.corr_psi_pad is None, m.corr_psi_key,
+           m.corr_psi_pad_q is None,
            m.factor_tex is None, m.factor_key)
     return leaves, aux
 
 
 def _occ_unflatten(aux, leaves):
     (res, sx, sy, ox, oy, maxd, no_dist, no_ri, no_psi, psi_key,
-     no_ftex, f_key) = aux
-    cells, distances, range_image, corr_psi_pad, factor_tex = leaves
+     no_psi_q, no_ftex, f_key) = aux
+    (cells, distances, range_image, corr_psi_pad, corr_psi_pad_q,
+     corr_psi_q, factor_tex) = leaves
     return OccupancyMap2D(
         resolution=res, size_x=sx, size_y=sy, origin_x=ox, origin_y=oy,
         cells=cells, distances=None if no_dist else distances,
@@ -257,6 +266,8 @@ def _occ_unflatten(aux, leaves):
         range_image=None if no_ri else range_image,
         corr_psi_pad=None if no_psi else corr_psi_pad,
         corr_psi_key=psi_key,
+        corr_psi_pad_q=None if no_psi_q else corr_psi_pad_q,
+        corr_psi_q=None if no_psi_q else corr_psi_q,
         factor_tex=None if no_ftex else factor_tex,
         factor_key=f_key,
     )

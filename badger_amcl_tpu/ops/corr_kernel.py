@@ -21,14 +21,27 @@ inside Monte-Carlo tolerance). The exact paths ("pallas" windowed kernel,
 "xla") remain available, and a lax.cond falls back to them for spread
 clouds, wide yaw ranges, over-long beams, or maps too big for VMEM.
 
-Performance structure (v2):
+Performance structure (v3):
 - The per-tap work is pure data movement: offsets are precomputed *outside*
-  the kernel as one vectorized (T_MAX, B) trig pass, packed as int16 pairs
-  into int32, and read from SMEM — no scalar cos/sin/round per tap.
-- Occupied yaw bins and valid beams are *compacted* (argsort) before the
-  kernel, so the tap loop runs exactly t_n x nv iterations with no branches,
-  8 independent taps per iteration (the load->roll chains overlap; 1-wide
-  measured 1.56 ms, 8-wide 0.73 ms at 42 bins x 720 beams).
+  the kernel as one vectorized (T_MAX, B) trig pass, packed as
+  (weight << 20) | 10-bit (oj, oi) into int32, and read from SMEM — no
+  scalar cos/sin/round per tap.
+- Occupied yaw bins and valid beams are *compacted* before the kernel, and
+  per-bin DUPLICATE offsets merge into one weighted tap (at range r the
+  angular beam pitch maps to r*pitch/res cells, so every beam under
+  ~res/pitch meters repeats an already-seen lattice offset — 2.85x fewer
+  taps on the 720-beam bench scan; the tap's add becomes an FMA). The tap
+  loop runs exactly t_n x nu[t] iterations with no branches, 8 independent
+  taps per iteration (the load->roll chains overlap; 1-wide measured
+  1.56 ms, 8-wide 0.73 ms at 42 bins x 720 beams, undeduped).
+- An int8 ratio-quantized texture variant (_kernel_q) cuts tap bytes
+  2.7-4x and VMEM-resident copies 8x (2 MB vs 16 MB), but measures ~6%
+  SLOWER than the f32 kernel at the flagship shape (tracking likelihood
+  1.56 vs 1.47 ms: the tap loop is issue-bound, and the q arm pays an
+  extra sublane roll + two bitcasts per tap) — so it is opt-in (backend
+  "pallas_corr_q"), for VMEM-constrained compositions, not the default.
+  Dedup is the lever that actually moved the flagship: tracking
+  likelihood 2.59 -> 1.47 ms (45.4k -> 16.0k taps), steady 1.13 -> 0.93.
 - Three window heights are compiled (tight 24 / narrow 32 / standard 64
   rows); lax.cond picks the smallest the particle row span allows — a
   converged cloud's taps then move ~60% fewer bytes per tap.
@@ -78,8 +91,8 @@ SLICE_C = 1024
 
 def _kernel(
     # scalar prefetch (SMEM)
-    meta_ref,  # (4,) int32 — (t_n, window row0, window col0, n_valid_beams)
-    off_ref,  # (T_MAX * B,) int32 — packed (oj << 16) | (oi & 0xffff)
+    meta_ref,  # (4 + T_MAX,) int32 — (t_n, row0, col0, nv, nu_0..nu_63)
+    off_ref,  # (T_MAX * B,) int32 — packed (w << 20)|(oj & 0x3FF) << 10|(oi & 0x3FF)
     # VMEM
     tex_ref,  # (8, SLICE_R, SLICE_C) f32 row-preshifted texture copies
     corr_ref,  # out (T_MAX, rows, PWIN_C) f32
@@ -91,7 +104,6 @@ def _kernel(
     corr_ref[...] = jnp.zeros_like(corr_ref)
     row0 = meta_ref[1]
     col0 = meta_ref[2]
-    nv = meta_ref[3]
 
     # Register-tile accumulation: the per-bin partial sum rides the inner
     # fori_loop CARRY and hits corr_ref ONCE per yaw bin — the earlier
@@ -101,9 +113,12 @@ def _kernel(
     def per_bin(t, _):
         def one_tap(b):
             packed = off_ref[t * n_beams + b]
-            oj = jax.lax.shift_right_arithmetic(packed, 16)
+            w = jax.lax.shift_right_logical(packed, 20)
+            oj = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(packed, 12), 22
+            )
             oi = jax.lax.shift_right_arithmetic(
-                jax.lax.shift_left(packed, 16), 16
+                jax.lax.shift_left(packed, 22), 22
             )
             sr = row0 + oj
             sc = col0 + oi
@@ -119,14 +134,16 @@ def _kernel(
             # amount silently miscompiles (verified on v5e), so the
             # left-roll by dc is its right-roll complement.
             block = pltpu.roll(block, (load_c - dc) % load_c, axis=1)
-            return block[:, 0:PWIN_C]
+            # dedup multiplicity: the add becomes an FMA (same VPU cost)
+            return w.astype(jnp.float32) * block[:, 0:PWIN_C]
 
         # W independent taps per iteration: amortizes loop overhead and lets
         # the load->roll chains overlap (1-wide 1.56 ms -> 2-wide 1.22 ->
         # 8-wide 0.83 at 42 bins x 720 beams). The mask-free main loop
-        # covers nv//W full batches; a 1-wide dynamic tail loop takes the
+        # covers nu//W full batches; a 1-wide dynamic tail loop takes the
         # remainder, so no select runs in the hot loop.
         W = 8
+        nu = meta_ref[4 + t]  # per-bin tap count (deduped; == nv without)
 
         def tapw(k, acc):
             b = W * k
@@ -135,11 +152,11 @@ def _kernel(
             return acc
 
         acc = jax.lax.fori_loop(
-            0, nv // W, tapw,
+            0, nu // W, tapw,
             jnp.zeros((rows, PWIN_C), jnp.float32), unroll=False,
         )
         acc = jax.lax.fori_loop(
-            (nv // W) * W, nv, lambda b, a: a + one_tap(b), acc,
+            (nu // W) * W, nu, lambda b, a: a + one_tap(b), acc,
             unroll=False,
         )
         corr_ref[pl.ds(t, 1)] = acc[None, :, :]
@@ -195,10 +212,15 @@ def _kernel_fleet(
 
     def per_bin(t, _):
         def one_tap(b):
+            # same packed format as _kernel ((w << 20) | 10-bit offsets);
+            # the fleet prepass runs dedup=False so w == 1 and the weight
+            # multiply is skipped (taps are plain adds)
             packed = off_ref[r8, t * n_beams + b]
-            oj = jax.lax.shift_right_arithmetic(packed, 16)
+            oj = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(packed, 12), 22
+            )
             oi = jax.lax.shift_right_arithmetic(
-                jax.lax.shift_left(packed, 16), 16
+                jax.lax.shift_left(packed, 22), 22
             )
             sr = row0 + oj
             sc = col0 + oi
@@ -283,6 +305,221 @@ def fleet_corr_call(tex_slices, metas, offs, n_beams, rows, interpret=False):
     return out[:r]
 
 
+# --- int8-quantized variant ------------------------------------------------
+#
+# The tap loop is load-bound: each f32 tap moves (rows, 256) * 4 B. Storing
+# psi ratio-quantized to int8 (255 levels between the texture's actual
+# [lo, hi] — the same uint8 ratio-quantization contract the reference applies
+# to its 3D distances, octomap.cpp:328-332) cuts tap bytes 2.7-4x. The
+# quantization step is (hi-lo)/254 — ~0.4% of the psi range per tap, an
+# order of magnitude below the corr lattice's own one-cell endpoint rounding
+# — and sums of quantized taps reconstruct exactly as
+# qstep * acc + nv * qoff (integer accumulation is exact in int32).
+#
+# Mosaic cannot load int8 at arbitrary sublane offsets (tiling is (32, 128)),
+# and pltpu.roll is 32-bit only. The verified spread-kernel pattern applies:
+# 4 row-preshifted int8 copies make the window's row origin a multiple of 4
+# (copy d holds tex[r + d] at row r, d = sr mod 4), the 32-aligned load adds
+# a <= 28-row residual, and a SUBLANE roll of the int32-bitcast view (4 int8
+# rows per int32 sublane, columns preserved — CLAUDE.md) fixes it exactly
+# (the residual is a multiple of 4). Column origins use the same bitcast
+# lane roll as the spread kernel. Building 4 int8 copies also cuts the
+# per-step active-region build ~7x vs the f32 kernel's 8 f32 copies.
+#
+# Row margins: loads are L = rows + 32 int8 rows at a 32-aligned origin, so
+# the q texture carries PAD_RQ = 224 row padding (PAD_R + 32) and the copies
+# CRQ = 512 rows — see the bound chain in slice_origin_q's docstring.
+
+PAD_RQ = 224  # q-texture row padding: PAD_R + 32 covers the aligned-load over-read
+CRQ = 512  # rows per preshifted copy
+BASE_RQ = CRQ + 3  # base slice rows the 4 copies are cut from
+Q_ROWS = (PWIN_R_NARROW, PWIN_R)  # q variants: narrow 32 / standard 64
+
+
+def _kernel_q(
+    # scalar prefetch (SMEM)
+    meta_ref,  # (4 + T_MAX,) int32 — (t_n, row0, col0, nv, nu_0..nu_63)
+    off_ref,  # (T_MAX * B,) int32 — packed (w << 20)|(oj & 0x3FF) << 10|(oi & 0x3FF)
+    # VMEM
+    tex_ref,  # (4, CRQ, SLICE_C) int8 row-preshifted quantized copies
+    corr_ref,  # out (T_MAX, rows, PWIN_C) int32
+    *,
+    n_beams: int,
+    rows: int,
+):
+    load_c = PWIN_C + 128
+    L = rows + 32  # 32-aligned load rows (residual sublane offset <= 28)
+    L4 = L // 4  # int32-view sublanes
+    corr_ref[...] = jnp.zeros_like(corr_ref)
+    row0 = meta_ref[1]
+    col0 = meta_ref[2]
+
+    def per_bin(t, _):
+        def one_tap(b):
+            packed = off_ref[t * n_beams + b]
+            w = jax.lax.shift_right_logical(packed, 20)
+            oj = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(packed, 12), 22
+            )
+            oi = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(packed, 22), 22
+            )
+            sr = row0 + oj
+            sc = col0 + oi
+            d = sr & 3  # preshifted copy: row origin becomes a multiple of 4
+            rb = ((sr - d) // 32) * 32
+            dr4 = (sr - d - rb) // 4  # residual in int32-view sublanes, 0..7
+            ac = (sc // 128) * 128
+            dc = sc - ac
+            blk = tex_ref[d, pl.ds(pl.multiple_of(rb, 32), L),
+                          pl.ds(pl.multiple_of(ac, 128), load_c)]
+            w32 = pltpu.bitcast(blk, jnp.int32)  # (L4, load_c), cols preserved
+            # pltpu.roll needs NON-NEGATIVE traced amounts (CLAUDE.md):
+            # left-rolls are their right-roll complements
+            w32 = pltpu.roll(w32, (L4 - dr4) % L4, axis=0)
+            w32 = pltpu.roll(w32, (load_c - dc) % load_c, axis=1)
+            w8 = pltpu.bitcast(w32, jnp.int8)  # (L, load_c)
+            # dedup multiplicity: integer multiply-accumulate stays exact
+            return w * w8[0:rows, 0:PWIN_C].astype(jnp.int32)
+
+        # W-wide mask-free main loop + 1-wide dynamic tail (see _kernel)
+        W = 8
+        nu = meta_ref[4 + t]  # per-bin tap count (deduped; == nv without)
+
+        def tapw(k, acc):
+            b = W * k
+            for dd in range(W):
+                acc = acc + one_tap(b + dd)
+            return acc
+
+        acc = jax.lax.fori_loop(
+            0, nu // W, tapw,
+            jnp.zeros((rows, PWIN_C), jnp.int32), unroll=False,
+        )
+        acc = jax.lax.fori_loop(
+            (nu // W) * W, nu, lambda b, a: a + one_tap(b), acc,
+            unroll=False,
+        )
+        corr_ref[pl.ds(t, 1)] = acc[None, :, :]
+        return 0
+
+    jax.lax.fori_loop(0, meta_ref[0], per_bin, 0, unroll=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_beams", "rows", "interpret")
+)
+def _corr_call_q(tex4, meta, off, n_beams, rows, interpret=False):
+    kern = functools.partial(_kernel_q, n_beams=n_beams, rows=rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T_MAX, rows, PWIN_C), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024),
+        interpret=interpret,
+    )(meta, off, tex4)
+
+
+def map_fits_q(omap) -> bool:
+    """Static check for the quantized variant (laxer rows than map_fits:
+    the q texture's 224-row padding alone nearly covers BASE_RQ)."""
+    return (
+        omap.size_y + 2 * PAD_RQ >= BASE_RQ
+        and omap.size_x + 2 * PAD_C >= SLICE_C
+        and omap.size_y >= PWIN_R
+        and omap.size_x >= PWIN_C
+    )
+
+
+def slice_origin_q(tex_q, j0, i0):
+    """Aligned origin of the q active-region base slice, clamped inside the
+    texture. Bound chain guaranteeing in-copy loads (rb + rows + 32 <= CRQ):
+    unclamped row0 <= PAD_RQ + 7 -> sr <= 414 -> rb + L <= 414 + 96 <= 512;
+    clamped row0 <= j0 - size_y + BASE_RQ - PAD_RQ with j0 <= size_y - rows
+    -> sr <= BASE_RQ - 41 - rows (offsets <= PAD_R - 9 = 183) -> rb + L <=
+    BASE_RQ - 9 = CRQ - 6."""
+    hp, wp = tex_q.shape
+    sj = jnp.clip(j0 & ~7, 0, hp - BASE_RQ)
+    si = jnp.clip(i0 & ~127, 0, wp - SLICE_C)
+    return sj, si
+
+
+def quad_slices(tex_q, sj, si):
+    """(4, CRQ, SLICE_C) int8 copies where copy d holds tex[r + d] at row r
+    — in-kernel row origins become multiples of 4 (one int32-view sublane)."""
+    base = jax.lax.dynamic_slice(tex_q, (sj, si), (BASE_RQ, SLICE_C))
+    return jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(base, d, CRQ, 0) for d in range(4)]
+    )
+
+
+def build_tex_pad_q(omap, tex_psi, offmap_psi):
+    """Quantize the psi texture to int8 and pad with the quantized off-map
+    value (planar_scanner.cpp:295-300). Pure jnp — NO device readback (a
+    single D2H through the axon tunnel permanently degrades dispatch; the
+    scale rides along as a (2,) device array instead of python floats).
+    Returns (pad_q int8, qscale (2,) f32 = [qstep, qoff]) with
+    sum_b psi == qstep * sum_b q + nv * qoff up to per-tap rounding
+    <= qstep/2 (integer accumulation itself is exact)."""
+    tex = tex_psi.astype(jnp.float32)
+    off = jnp.float32(offmap_psi)
+    lo = jnp.minimum(jnp.min(tex), off)
+    hi = jnp.maximum(jnp.max(tex), off)
+    step = jnp.where(hi > lo, (hi - lo) / 254.0, jnp.float32(1.0))
+    q = jnp.clip(jnp.round((tex - lo) / step), 0, 254).astype(jnp.int16) - 127
+    q_off = (jnp.clip(jnp.round((off - lo) / step), 0, 254)
+             .astype(jnp.int16) - 127)
+    pad = jnp.broadcast_to(
+        q_off.astype(jnp.int8),
+        (omap.size_y + 2 * PAD_RQ, omap.size_x + 2 * PAD_C),
+    )
+    pad = jax.lax.dynamic_update_slice(
+        pad, q.astype(jnp.int8), (PAD_RQ, PAD_C)
+    )
+    return pad, jnp.stack([step, lo + 127.0 * step])
+
+
+def corr_values_q(tex_q, qscale, ranges, pre, interpret=False):
+    """Quantized-texture twin of corr_values: narrow (32) / standard (64)
+    row variants (no tight-24 — int8 loads ride 32-row tiles anyway), int32
+    accumulation in-kernel, dequantized per particle as
+    qstep * acc + nv * qoff."""
+    n_beams = int(ranges.shape[0])
+
+    def run(rows, j0):
+        sj, si = slice_origin_q(tex_q, j0, pre["i0"])
+        tex4 = quad_slices(tex_q, sj, si)
+        meta = jnp.concatenate([
+            jnp.stack(
+                [pre["t_n"], j0 + PAD_RQ - sj, pre["i0"] + PAD_C - si,
+                 pre["nv"]]
+            ).astype(jnp.int32),
+            pre["nu"],
+        ])
+        corr = _corr_call_q(
+            tex4, meta, pre["off"], n_beams=n_beams, rows=rows,
+            interpret=interpret,
+        )
+        acc = jnp.take(corr.reshape(-1), particle_flat(pre, rows, j0))
+        return acc.astype(jnp.float32) * qscale[0] + (
+            pre["nv"].astype(jnp.float32) * qscale[1]
+        )
+
+    return jax.lax.cond(
+        pre["narrow"],
+        lambda _: run(PWIN_R_NARROW, pre["j0_narrow"]),
+        lambda _: run(PWIN_R, pre["j0"]),
+        operand=None,
+    )
+
+
 def map_fits(omap) -> bool:
     """Static check: map large enough for the active-region slice. There is
     NO upper size limit — the kernel reads a fixed slice of the padded
@@ -315,10 +552,18 @@ def preshifted_slices(tex_pad, sj, si):
     )
 
 
-def corr_prepass(omap, spose, ranges, angles, valid):
+def corr_prepass(omap, spose, ranges, angles, valid, dedup=False):
     """Lattice geometry: particle cells & window, compacted yaw bins and
     beams, packed stencil offsets, dynamic fits flags. All fused XLA
-    vector work; nothing (M, B)-sized."""
+    vector work; nothing (M, B)-sized.
+
+    With dedup=True (static), per-bin duplicate stencil offsets are merged
+    into one weighted tap: at range r the angular beam pitch maps to
+    r * pitch / res cells, so every beam under ~res/pitch meters rounds to
+    an already-seen lattice offset (2.85x fewer taps on the 720-beam bench
+    scan). Taps are value-identical (the psi sum is reassociated only).
+    The fleet path keeps dedup=False: its prepass is vmapped and batched
+    sorts lower poorly on TPU (CLAUDE.md)."""
     res = omap.resolution
     ij = omap.world_to_map(spose[:, :2])
     ci = jnp.clip(ij[..., 0], 0, omap.size_x - 1)
@@ -393,7 +638,10 @@ def corr_prepass(omap, spose, ranges, angles, valid):
     angles_c = jnp.where(tail_ok, angles_c, 0.0)
 
     # packed integer offsets for every (compacted bin, compacted beam):
-    # one vectorized (T_MAX, B) trig pass replaces per-tap scalar trig
+    # one vectorized (T_MAX, B) trig pass replaces per-tap scalar trig.
+    # Packing: (weight << 20) | ((oj & 0x3FF) << 10) | (oi & 0x3FF) —
+    # 10-bit signed offsets (|o| <= 183 < 512 by range_ok) + a 12-bit tap
+    # multiplicity (<= B <= 4095).
     theta = (
         (t_min + t_order[:, None]).astype(jnp.float32) * dtheta
         + angles_c[None, :]
@@ -401,12 +649,59 @@ def corr_prepass(omap, spose, ranges, angles, valid):
     inv_res = jnp.float32(1.0 / res)
     oi = jnp.round(ranges_c[None, :] * jnp.cos(theta) * inv_res).astype(jnp.int32)
     oj = jnp.round(ranges_c[None, :] * jnp.sin(theta) * inv_res).astype(jnp.int32)
-    off = jnp.left_shift(oj, 16) | (oi & 0xFFFF)
+    oo = jnp.left_shift(oj & 0x3FF, 10) | (oi & 0x3FF)
+
+    if not dedup:
+        off = jnp.left_shift(jnp.int32(1), 20) | oo
+        nu = jnp.full((T_MAX,), nv, jnp.int32)
+    else:
+        # merge per-bin duplicate offsets into one weighted tap: sort each
+        # bin's offsets, run-length-encode with cummax/cummin scans, then a
+        # second stable sort compacts unique taps to the front (gather-free
+        # — M-sized gathers are the one thing TPUs do slowly)
+        sent = jnp.int32(0x1FFFFF)  # > any 20-bit payload; sorts last
+        live = tail_ok[None, :]  # compacted-beam slots < nv
+        x = jnp.sort(jnp.where(live, oo, sent), axis=1)
+        bsz = x.shape[1]
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        real = x != sent
+        uniq = (
+            jnp.concatenate(
+                [jnp.ones_like(real[:, :1]),
+                 x[:, 1:] != x[:, :-1]], axis=1,
+            )
+            & real
+        )
+        # first/last index of each equal run, via forward/reverse scans
+        first = jax.lax.cummax(jnp.where(uniq, idx, -1), axis=1)
+        bnext = jnp.concatenate(
+            [x[:, :-1] != x[:, 1:], jnp.ones_like(real[:, :1])], axis=1
+        )
+        last = jax.lax.cummin(
+            jnp.where(bnext, idx, bsz), axis=1, reverse=True
+        )
+        w = jnp.where(uniq, last - first + 1, 0)
+        # sentinel slots pack to 0 (the raw sentinel overlaps the weight
+        # field; a defensively-read tail slot must contribute nothing)
+        packed = jnp.where(real, jnp.left_shift(w, 20) | x, 0)
+        key2 = jnp.where(uniq, 0, 1).astype(jnp.int32)
+        _, off2 = jax.lax.sort((key2, packed), dimension=1, num_keys=1,
+                               is_stable=True)
+        off = off2
+        nu = jnp.sum(uniq, axis=1).astype(jnp.int32)
+        # per-bin tap counts ride bin-compacted order (bins t >= t_n were
+        # never populated; their nu is 0 by construction since all their
+        # slots hold the sentinel)... but oo was computed for ALL T_MAX
+        # compacted bins (t_order covers the full range), so zero the tail
+        # explicitly to keep the kernel's per-bin loop bounds honest.
+        nu = jnp.where(
+            jnp.arange(T_MAX, dtype=jnp.int32) < t_n, nu, 0
+        )
 
     return {
         "ci": ci, "cj": cj, "i0": i0, "j0": j0, "j0_narrow": j0_n,
         "j0_tight": j0_t,
-        "t_slot": t_slot, "t_n": t_n, "nv": nv,
+        "t_slot": t_slot, "t_n": t_n, "nv": nv, "nu": nu,
         "off": off.reshape(-1),
         "fits": span_ok & yaw_ok & range_ok,
         "narrow": narrow_ok & yaw_ok & range_ok,
@@ -446,10 +741,13 @@ def corr_values(omap, tex_pad, spose, ranges, angles, valid, pre,
     def run(rows, j0):
         sj, si = slice_origin(tex_pad, j0, pre["i0"])
         tex_s = preshifted_slices(tex_pad, sj, si)
-        meta = jnp.stack(
-            [pre["t_n"], j0 + PAD_R - sj, pre["i0"] + PAD_C - si,
-             jnp.maximum(pre["nv"], 1)]
-        ).astype(jnp.int32)
+        meta = jnp.concatenate([
+            jnp.stack(
+                [pre["t_n"], j0 + PAD_R - sj, pre["i0"] + PAD_C - si,
+                 pre["nv"]]
+            ).astype(jnp.int32),
+            pre["nu"],
+        ])
         corr = _corr_call(
             tex_s, meta, pre["off"], n_beams=n_beams, rows=rows,
             interpret=interpret,

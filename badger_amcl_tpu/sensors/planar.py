@@ -190,20 +190,31 @@ def bake_corr_texture(omap: OccupancyMap2D, params: PlanarScanParams,
 
     if (model not in CORR_MODELS or omap.distances is None
             or not corr_kernel.map_fits(omap)):
-        return dataclasses.replace(omap, corr_psi_pad=None, corr_psi_key=None)
+        return dataclasses.replace(omap, corr_psi_pad=None, corr_psi_key=None,
+                                   corr_psi_pad_q=None, corr_psi_q=None)
     key = psi_fingerprint(model, params, range_max)
     if key is None:  # traced params can't be fingerprinted — don't bake
-        return dataclasses.replace(omap, corr_psi_pad=None, corr_psi_key=None)
+        return dataclasses.replace(omap, corr_psi_pad=None, corr_psi_key=None,
+                                   corr_psi_pad_q=None, corr_psi_q=None)
     psi = _corr_psi_fn(model, params, jnp.float32(range_max))
-    pad = corr_kernel.build_tex_pad(
-        omap, psi(omap.distances),
-        psi(jnp.float32(omap.max_distance_to_object)),
-    )
-    return dataclasses.replace(omap, corr_psi_pad=pad, corr_psi_key=key)
+    tex_psi = psi(omap.distances)
+    offmap_psi = psi(jnp.float32(omap.max_distance_to_object))
+    pad = corr_kernel.build_tex_pad(omap, tex_psi, offmap_psi)
+    # int8 ratio-quantized twin (the 2D analogue of the reference's uint8
+    # 3D distance quantization, octomap.cpp:328-332): 8x less VMEM per
+    # kernel call, opt-in via the pallas_corr_q backends (see
+    # _corr_dispatch for the measured tradeoff). The prob model stays
+    # f32-only: its psi is log pz and exp(sum) amplifies correlated
+    # quantization rounding.
+    pad_q, qscale = None, None
+    if model != "likelihood_field_prob" and corr_kernel.map_fits_q(omap):
+        pad_q, qscale = corr_kernel.build_tex_pad_q(omap, tex_psi, offmap_psi)
+    return dataclasses.replace(omap, corr_psi_pad=pad, corr_psi_key=key,
+                               corr_psi_pad_q=pad_q, corr_psi_q=qscale)
 
 
 def _corr_dispatch(omap, scan, spose, model, params, combine_fn,
-                   fallback_fn, interpret):
+                   fallback_fn, interpret, quantized=False):
     """Shared stencil-correlation dispatch for the LF-family models:
     the psi texture maps distance to per-cell beam likelihood, combine_fn
     turns (sum_psi (M,), valid count) into p (M,); falls back to
@@ -217,12 +228,28 @@ def _corr_dispatch(omap, scan, spose, model, params, combine_fn,
     valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
     if not corr_kernel.map_fits(omap):
         return fallback_fn()
-    pre = corr_kernel.corr_prepass(omap, spose, scan.ranges, scan.angles, valid)
+    # dedup=True: per-bin duplicate lattice offsets merge into weighted
+    # taps (2.85x fewer on the 720-beam bench scan; value-identical)
+    pre = corr_kernel.corr_prepass(omap, spose, scan.ranges, scan.angles,
+                                   valid, dedup=True)
 
     def fast(_):
         want = psi_fingerprint(model, params, scan.range_max)
-        if (omap.corr_psi_pad is not None and want is not None
-                and omap.corr_psi_key == want):
+        baked = (omap.corr_psi_pad is not None and want is not None
+                 and omap.corr_psi_key == want)
+        if quantized and baked and omap.corr_psi_pad_q is not None:
+            # int8-quantized kernel (opt-in via the *_q backends): 2.7-4x
+            # fewer tap bytes but measured ~6% SLOWER than the f32 kernel
+            # at the flagship shape (the tap loop is issue-bound and the q
+            # arm pays an extra sublane roll + bitcasts per tap), so the
+            # default path stays f32; q trades that for 8x less VMEM per
+            # call (2 MB vs 16 MB of preshifted copies).
+            s = corr_kernel.corr_values_q(
+                omap.corr_psi_pad_q, omap.corr_psi_q, scan.ranges, pre,
+                interpret=interpret,
+            )
+            return combine_fn(s, jnp.sum(valid))
+        if baked:
             tex_pad = omap.corr_psi_pad
         else:
             psi_fn = _corr_psi_fn(model, params, scan.range_max)
@@ -292,7 +319,7 @@ def _lf_term(params, scan):
     return term
 
 
-def _lf_model(omap, params, scan, spose, backend="xla"):
+def _lf_model(omap, params, scan, spose, backend="xla", quantized=False):
     """calcLikelihoodFieldModel (planar_scanner.cpp:236-323):
     pz = z_hit exp(-z^2/2s^2) + z_rand/range_max; p = 1 + sum pz^3 over
     valid beams (max-range and NaN beams skipped)."""
@@ -309,13 +336,14 @@ def _lf_model(omap, params, scan, spose, backend="xla"):
                 lambda: _lf_model(omap, params, scan, spose, fb),
                 interpret=interp,
             ),
-            interpret=interp,
+            interpret=interp, quantized=quantized,
         )
     zt, valid = _beam_endpoints_dist(omap, scan, spose, backend)
     return _lf_combine(params, scan, zt, valid)
 
 
-def _lf_gompertz_model(omap, params, scan, spose, backend="xla"):
+def _lf_gompertz_model(omap, params, scan, spose, backend="xla",
+                       quantized=False):
     """calcLikelihoodFieldModelGompertz (planar_scanner.cpp:552-640):
     per-particle *mean* pz (note z_rand added raw, no /range_max) through the
     Gompertz squash; no valid beams -> p = 1."""
@@ -353,7 +381,7 @@ def _lf_gompertz_model(omap, params, scan, spose, backend="xla"):
                 lambda: _lf_gompertz_model(omap, params, scan, spose, fb),
                 interpret=interp,
             ),
-            interpret=interp,
+            interpret=interp, quantized=quantized,
         )
     zt, valid = _beam_endpoints_dist(omap, scan, spose, backend)
     return combine_zt(zt, valid)
@@ -590,20 +618,26 @@ def planar_likelihood(
 ):
     """applyModelToSampleSet (planar_scanner.cpp:141-164): returns
     (p_model (N,), map_factor (N,)) to feed pf.sensor_update. `model`,
-    `do_beamskip` and `backend` ("xla" | "pallas" | "pallas_interpret") are
-    static."""
+    `do_beamskip` and `backend` ("xla" | "pallas" | "pallas_interpret" |
+    "pallas_corr" | "pallas_corr_q" | *_interpret) are static. The *_q
+    backends opt in to the int8-quantized corr texture (slightly slower at
+    the flagship shape, 8x less VMEM per call — see _corr_dispatch)."""
+    quantized = backend in ("pallas_corr_q", "pallas_corr_q_interpret")
+    if quantized:
+        backend = ("pallas_corr_interpret"
+                   if backend.endswith("_interpret") else "pallas_corr")
     spose = coord_add(params.scanner_pose, poses)
     if model == "beam":
         p = _beam_model(omap, params, scan, spose, backend)
     elif model == "likelihood_field":
-        p = _lf_model(omap, params, scan, spose, backend)
+        p = _lf_model(omap, params, scan, spose, backend, quantized)
     elif model == "likelihood_field_prob":
         p = _lf_prob_model(
             omap, params, scan, spose, active, n_active, converged, do_beamskip,
             backend,
         )
     elif model == "likelihood_field_gompertz":
-        p = _lf_gompertz_model(omap, params, scan, spose, backend)
+        p = _lf_gompertz_model(omap, params, scan, spose, backend, quantized)
     else:  # pragma: no cover
         raise ValueError(f"unknown planar model {model!r}")
     return p, map_factors(omap, params, poses)

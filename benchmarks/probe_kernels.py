@@ -237,7 +237,7 @@ def probe_corr(omap):
     }
     for name, poses in shapes.items():
         pre = corr_kernel.corr_prepass(omap, poses, scan.ranges, scan.angles,
-                                       valid)
+                                       valid, dedup=True)
         assert bool(pre["fits"]), f"corr {name} cloud must fit"
         if name == "tight":
             assert bool(pre["tight"]), "tight cloud must take the 24-row arm"
@@ -254,6 +254,20 @@ def probe_corr(omap):
                                      scan.ranges, scan.angles, valid, pre,
                                      interpret=True)
         probe(f"corr.{name}_hw_vs_interpret", hw, it, 1e-4)
+        # int8-quantized variant: the int32 accumulation is exact, so hw
+        # must match interpret BIT-EQUALLY after the affine dequantization
+        # (any roll/bitcast miscompile shows up as whole-qstep jumps)
+        hw_q = corr_kernel.corr_values_q(omap.corr_psi_pad_q, omap.corr_psi_q,
+                                         scan.ranges, pre,
+                                         interpret=INTERPRET_HW)
+        it_q = corr_kernel.corr_values_q(omap.corr_psi_pad_q, omap.corr_psi_q,
+                                         scan.ranges, pre, interpret=True)
+        probe(f"corr_q.{name}_hw_vs_interpret", hw_q, it_q, 0.0)
+        # quantization contract vs the f32 kernel: <= nv * qstep / 2
+        qstep = float(np.asarray(omap.corr_psi_q)[0])
+        nv = int(pre["nv"])
+        probe(f"corr_q.{name}_vs_f32", hw_q, np.asarray(it, np.float64),
+              nv * qstep * 0.5 * 1.01 + 1e-5)
 
 
 # ------------------------------------------------------------------- spread
