@@ -228,10 +228,15 @@ def _corr_dispatch(omap, scan, spose, model, params, combine_fn,
     valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
     if not corr_kernel.map_fits(omap):
         return fallback_fn()
-    # dedup=True: per-bin duplicate lattice offsets merge into weighted
-    # taps (2.85x fewer on the 720-beam bench scan; value-identical)
+    # dedup merges per-bin duplicate lattice offsets into weighted taps
+    # (2.85x fewer on the 720-beam bench scan; value-identical). Duplicates
+    # only exist where the angular beam pitch at range rounds inside one
+    # cell, so the win scales with beam density — and the prepass sort is
+    # a FIXED cost that dominated the 180-beam reference-scale config
+    # (3.8 -> 5.7 ms measured). Gate on beam count: >= 360 beams.
+    dedup = int(scan.ranges.shape[0]) >= 360
     pre = corr_kernel.corr_prepass(omap, spose, scan.ranges, scan.angles,
-                                   valid, dedup=True)
+                                   valid, dedup=dedup)
 
     def fast(_):
         want = psi_fingerprint(model, params, scan.range_max)
