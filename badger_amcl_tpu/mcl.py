@@ -46,7 +46,7 @@ def mcl_step_2d(
     p, mf = planar_likelihood(
         omap, scan_params, scan, state.poses, state.active_mask, state.n_active,
         laser_model, converged=state.converged, do_beamskip=do_beamskip,
-        backend=backend,
+        backend=backend, fold_factors=True,
     )
     state = pf_filter.sensor_update(state, p, mf)
     if do_resample:
@@ -79,7 +79,7 @@ def sensor_resample_step(
     p, mf = planar_likelihood(
         omap, scan_params, scan, state.poses, state.active_mask, state.n_active,
         laser_model, converged=state.converged, do_beamskip=False,
-        backend=backend,
+        backend=backend, fold_factors=True,
     )
     state = pf_filter.sensor_update(state, p, mf)
     return pf_filter.resample(state, params, random_pose_pool, resample_model)
@@ -103,9 +103,9 @@ def likelihood_only(
     p, mf = planar_likelihood(
         omap, scan_params, scan, state.poses, state.active_mask, state.n_active,
         laser_model, converged=state.converged, do_beamskip=False,
-        backend=backend,
+        backend=backend, fold_factors=True,
     )
-    return p * mf
+    return p if mf is None else p * mf
 
 
 likelihood_only_jit = jax.jit(

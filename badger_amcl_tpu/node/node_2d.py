@@ -41,7 +41,7 @@ def _sensor_update_jit(state, omap, params, scan, model, do_beamskip, backend):
     p, mf = planar_likelihood(
         omap, params, scan, state.poses, state.active_mask, state.n_active,
         model, converged=state.converged, do_beamskip=do_beamskip,
-        backend=backend,
+        backend=backend, fold_factors=True,
     )
     return pf_filter.sensor_update(state, p, mf)
 
@@ -52,8 +52,10 @@ def _score_poses_jit(omap, params, scan, poses, model, do_beamskip, backend):
     p, mf = planar_likelihood(
         omap, params, scan, poses, jnp.ones((n,), bool), jnp.int32(n),
         model, converged=jnp.array(False), do_beamskip=False, backend=backend,
+        fold_factors=True,
     )
-    return p * mf  # fake 1-weight sample through the full model (scorePose)
+    # fake 1-weight sample through the full model (scorePose)
+    return p if mf is None else p * mf
 
 
 class Node2D(Node):

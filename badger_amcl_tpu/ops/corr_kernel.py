@@ -486,11 +486,12 @@ def build_tex_pad_q(omap, tex_psi, offmap_psi):
     return pad, jnp.stack([step, lo + 127.0 * step])
 
 
-def corr_values_q(tex_q, qscale, ranges, pre, interpret=False):
+def corr_values_q(tex_q, qscale, ranges, pre, interpret=False, fold=None):
     """Quantized-texture twin of corr_values: narrow (32) / standard (64)
     row variants (no tight-24 — int8 loads ride 32-row tiles anyway), int32
     accumulation in-kernel, dequantized per particle as
-    qstep * acc + nv * qoff."""
+    qstep * acc + nv * qoff (with `fold`, dequantized TABLE-side and fused
+    with combine + factor window exactly like corr_values)."""
     n_beams = int(ranges.shape[0])
 
     def run(rows, j0):
@@ -507,10 +508,12 @@ def corr_values_q(tex_q, qscale, ranges, pre, interpret=False):
             tex4, meta, pre["off"], n_beams=n_beams, rows=rows,
             interpret=interpret,
         )
+        nv_off = pre["nv"].astype(jnp.float32) * qscale[1]
+        if fold is not None:
+            s_tbl = corr.astype(jnp.float32) * qscale[0] + nv_off
+            return _folded_take(s_tbl, pre, rows, j0, fold)
         acc = jnp.take(corr.reshape(-1), particle_flat(pre, rows, j0))
-        return acc.astype(jnp.float32) * qscale[0] + (
-            pre["nv"].astype(jnp.float32) * qscale[1]
-        )
+        return acc.astype(jnp.float32) * qscale[0] + nv_off
 
     return jax.lax.cond(
         pre["narrow"],
@@ -730,12 +733,42 @@ def particle_flat(pre, rows, j0):
     return (pre["t_slot"] * rows + dj) * PWIN_C + di
 
 
+def _folded_take(corr_s, pre, rows, j0, fold):
+    """Fused read: apply the model's combine and the per-cell recalcWeight
+    factor TABLE-side (both elementwise over the tiny (T_MAX, rows, PWIN_C)
+    table), then ONE per-particle take returns p*factor directly — removing
+    the separate windowed factor read (~0.4 ms/step at 50k, PERF.md). The
+    table-side combine is exact: take picks a single element, so
+    take(combine(tbl)*fwin) == combine(take(tbl)) * fwin[cell] bit-for-bit.
+
+    Particles outside the map need the off-map factor instead of the
+    clipped border cell's (recalcWeight, planar_scanner.cpp:646-650), so
+    the fused arm only runs when every particle is on-map; otherwise the
+    classic two-read path runs (a real branch — this cond is never vmapped;
+    the fleet layer keeps its own batched factor path)."""
+    flat_idx = particle_flat(pre, rows, j0)
+
+    def folded(_):
+        c2 = fold["combine"](corr_s) * fold["window"](rows, j0, pre["i0"])[None]
+        return jnp.take(c2.reshape(-1), flat_idx)
+
+    def generic(_):
+        p = fold["combine"](jnp.take(corr_s.reshape(-1), flat_idx))
+        return p * fold["fallback_mf"]()
+
+    return jax.lax.cond(fold["all_valid"], folded, generic, operand=None)
+
+
 def corr_values(omap, tex_pad, spose, ranges, angles, valid, pre,
-                interpret=False):
+                interpret=False, fold=None):
     """Build the correlation table and gather each particle's value.
 
     tex_pad: padded psi texture from `build_tex_pad`. Returns (M,) f32 of
-    sum_b psi at each particle's lattice pose."""
+    sum_b psi at each particle's lattice pose — or, with `fold`, the final
+    per-particle p * recalcWeight-factor in one fused take (see
+    `_folded_take`). fold keys: combine (elementwise table map s -> p),
+    window ((rows, j0, i0) -> (rows, PWIN_C) f32 factor window in map
+    coords), all_valid (scalar bool), fallback_mf (() -> (M,) factors)."""
     n_beams = int(ranges.shape[0])
 
     def run(rows, j0):
@@ -752,6 +785,8 @@ def corr_values(omap, tex_pad, spose, ranges, angles, valid, pre,
             tex_s, meta, pre["off"], n_beams=n_beams, rows=rows,
             interpret=interpret,
         )
+        if fold is not None:
+            return _folded_take(corr, pre, rows, j0, fold)
         return jnp.take(corr.reshape(-1), particle_flat(pre, rows, j0))
 
     return jax.lax.cond(

@@ -113,25 +113,15 @@ def _ranks_grid_path(flat, active, shape):
 SMALL_GRID = (32, 32, 40)
 
 
-def _ranks_sorted_path(sb, shape):
-    """Per-particle cluster ranks from the pre-sorted bin structure
-    (round 3): partition the <= MAX_UNIQUE_BINS unique bins to the front,
-    scatter only those into the occupancy grid (compact SMALL_GRID when the
-    cloud's bin spans fit, the full hist grid otherwise), gather label->rank
-    for those only, broadcast back to particles through the tiny table
-    (one-hot MXU), restore draw order with a second sort. All M-sized steps
-    are sorts/scans/matmuls — no M-sized scatter or gather. ~0.9 ms at 50k
-    vs ~2 ms for the grid path (benchmarks/micro_sort_core.py)."""
+def _ranks_from_unique(uk_raw, valid_u, shape):
+    """(rank_u (u,), cluster_count) for <= MAX_UNIQUE_BINS compacted unique
+    bins (big-grid flat encodings, ascending; valid_u masks real entries —
+    invalid slots get garbage ranks the caller must mask). Scatters only the
+    valid bins into the occupancy grid (compact SMALL_GRID when the valid
+    bins' spans fit, the full hist grid otherwise) and gathers label->rank
+    for those only — O(u) work, never O(M)."""
     gx, gy, ga = shape
     n_cells = gx * gy * ga
-    u = MAX_UNIQUE_BINS
-    ks, idx_s, act_s, segstart = sb
-    segid = jnp.cumsum(segstart.astype(jnp.int32)) - 1  # -1 before 1st seg
-    # partition: unique keys to the front, in first-seen (ascending) order
-    pk = jnp.where(segstart, 0, 1).astype(jnp.int32)
-    _, ks_c = jax.lax.sort((pk, ks), num_keys=1, is_stable=True)
-    uk_raw = ks_c[:u]
-    valid_u = uk_raw < kld.BIG
     # decode the (a, x, y) grid coordinates from the big-grid flat encoding
     a_u = uk_raw // (gx * gy)
     rem = uk_raw - a_u * (gx * gy)
@@ -167,9 +157,9 @@ def _ranks_sorted_path(sb, shape):
         return rank_u, cluster_count
 
     def big(_):
-        # entries past the unique count are duplicates of occupied bins (or
-        # the BIG inactive sentinel, dropped): re-setting True is harmless
-        occ = jnp.zeros((n_cells,), bool).at[uk_raw].set(True, mode="drop")
+        occ = jnp.zeros((n_cells,), bool).at[
+            jnp.where(valid_u, uk_raw, n_cells)
+        ].set(True, mode="drop")
         labels_grid, rank_grid, cluster_count = _label_grid_machinery(
             occ, shape)
         uk = jnp.clip(uk_raw, 0, n_cells - 1)
@@ -177,7 +167,26 @@ def _ranks_sorted_path(sb, shape):
         rank_u = rank_grid[jnp.clip(lab_u, 0, n_cells - 1)]
         return rank_u, cluster_count
 
-    rank_u, cluster_count = jax.lax.cond(fits_small, small, big, operand=None)
+    return jax.lax.cond(fits_small, small, big, operand=None)
+
+
+def _ranks_sorted_path(sb, shape):
+    """Per-particle cluster ranks from the pre-sorted bin structure
+    (round 3): partition the <= MAX_UNIQUE_BINS unique bins to the front,
+    rank them on the occupancy grid (_ranks_from_unique), broadcast back to
+    particles through the tiny table (one-hot MXU), restore draw order with
+    a second sort. All M-sized steps are sorts/scans/matmuls — no M-sized
+    scatter or gather. ~0.9 ms at 50k vs ~2 ms for the grid path
+    (benchmarks/micro_sort_core.py)."""
+    u = MAX_UNIQUE_BINS
+    ks, idx_s, act_s, segstart = sb
+    segid = jnp.cumsum(segstart.astype(jnp.int32)) - 1  # -1 before 1st seg
+    # partition: unique keys to the front, in first-seen (ascending) order
+    pk = jnp.where(segstart, 0, 1).astype(jnp.int32)
+    _, ks_c = jax.lax.sort((pk, ks), num_keys=1, is_stable=True)
+    uk_raw = ks_c[:u]
+    valid_u = uk_raw < kld.BIG
+    rank_u, cluster_count = _ranks_from_unique(uk_raw, valid_u, shape)
     # per-particle (sorted order) rank via the tiny table, then restore
     from badger_amcl_tpu.ops import mxu_gather
 
@@ -188,21 +197,29 @@ def _ranks_sorted_path(sb, shape):
     return rank_d, cluster_count
 
 
-def compute_cluster_stats(poses, weights, active, params) -> ClusterStats:
+def compute_cluster_stats(poses, weights, active, params,
+                          precomputed_ranks=None) -> ClusterStats:
     """Full computeClusterStatsForSet (particle_filter.cpp:505-636):
     cluster the histogram, then accumulate per-cluster and whole-set
     weighted statistics with circular yaw means.
 
-    Segment ids in the returned arrays are dense cluster ranks (< M)."""
+    Segment ids in the returned arrays are dense cluster ranks (< M).
+    precomputed_ranks: optional (rank_p (M,), cluster_count) computed by a
+    caller that already binned/sorted these poses (the fused multinomial
+    resample, pf.filter._resample_multinomial_fused) — skips the rank
+    machinery here."""
     m = poses.shape[0]
     shape = params.hist_shape
-    _, flat = kld.grid_cells(kld.bin_keys(poses), active, shape)
 
-    if params.stats_max_clusters:
+    if precomputed_ranks is not None:
+        rank_p, cluster_count = precomputed_ranks
+    elif params.stats_max_clusters:
         # fleet path (vmapped): sorts lower poorly under vmap, and a
         # lax.cond would run BOTH branches — stay on the grid gathers
+        _, flat = kld.grid_cells(kld.bin_keys(poses), active, shape)
         rank_p, cluster_count = _ranks_grid_path(flat, active, shape)
     else:
+        _, flat = kld.grid_cells(kld.bin_keys(poses), active, shape)
         sb = kld.sort_by_bin(flat, active)
         u_count = jnp.sum(sb[3]).astype(jnp.int32)
         rank_p, cluster_count = jax.lax.cond(

@@ -110,6 +110,13 @@ def sensor_update(
              (recalcWeight, planar_scanner.cpp:642-682) — applied only when
              the model's total weight is positive, matching
              `if (rv > 0.0) rv = recalcWeight(set)` (planar_scanner.cpp:159-162).
+             Passing the PRE-FOLDED product p*factor as p_model with
+             map_factor=None is exactly equivalent: with p, factor >= 0
+             (true of every model/factor), t1 == 0 implies every w*p == 0,
+             so both formulations reach the same uniform reset, and when
+             t1 > 0 the kept weights/total are the identical products —
+             this is what the corr backends' fused factor read relies on
+             (sensors.planar.planar_likelihood fold_factors).
 
     Then normalize and update the w_slow/w_fast augmented-MCL averages
     (particle_filter.cpp:237-266); zero total resets to uniform.
@@ -242,6 +249,108 @@ def _resample_multinomial(
     return new_poses, new_count
 
 
+def _resample_multinomial_fused(state, params, w_diff, random_pose_pool, key):
+    """_resample_multinomial + the cluster-rank machinery of
+    compute_cluster_stats fused over ONE bin sort of the new candidate set
+    (the post-resample stats re-sorted the very same poses; sharing saves
+    two 50k-element multi-operand sorts and a grid pass per step).
+
+    Returns (new_poses, new_count, rank_p, cluster_count). Semantics match
+    the separate path exactly, with two documented differences confined to
+    conservative-approximation territory:
+    - the stats bin grid is positioned at the min bin over ALL max_samples
+      candidates (the KLD stop always used that origin) instead of the
+      active subset's min — identical unless the candidate spread exceeds
+      the hist-grid budget (>127 m at defaults), where clamp-merging is
+      the documented degradation either way (kld.py module docstring);
+    - with more than MAX_UNIQUE_BINS occupied bins the big arm computes the
+      stop exactly as before and takes the grid rank path.
+    The mid-stream KLD stop (particle_filter.cpp:416) is reproduced from
+    the sorted new-bin event times: k_n == j exactly for
+    n in [D_j + 1, D_{j+1}] where D_j is the j-th smallest first-occurrence
+    draw index, so the first n with n > resampleLimit(k_n) is
+    min_j max(D_j + 1, limit(j) + 1) clipped to that interval — verified
+    equal to the prefix-scan formulation by tests/test_resample_oracle.py."""
+    m = params.max_samples
+    k1, k2 = jax.random.split(key)
+    use_random = jax.random.uniform(k1, (m,)) < w_diff
+    r = jax.random.uniform(k2, (m,))
+    idx = _pick_indices(state.weights, r)
+    picked = mxu_gather.gather_rows(state.poses, idx)
+    new_poses = jnp.where(use_random[:, None], random_pose_pool, picked)
+
+    ones = jnp.ones((m,), bool)
+    _, flat = kld.grid_cells(kld.bin_keys(new_poses), ones, params.hist_shape)
+    draw = jnp.arange(m, dtype=jnp.int32)
+    ks, idx_s = jax.lax.sort((flat, draw), num_keys=1, is_stable=True)
+    segstart = jnp.concatenate([jnp.ones((1,), bool), ks[1:] != ks[:-1]])
+    u_count = jnp.sum(segstart).astype(jnp.int32)
+    u = min(cluster.MAX_UNIQUE_BINS, m)
+
+    def small_arm(_):
+        # compact unique bins to the front (ascending) with each bin's
+        # minimum draw index (stability: the segstart entry IS the min)
+        pk = jnp.where(segstart, 0, 1).astype(jnp.int32)
+        _, ks_c, d_c = jax.lax.sort(
+            (pk, ks, idx_s), num_keys=1, is_stable=True
+        )
+        uk = ks_c[:u]
+        dmin = d_c[:u]
+        front = jnp.arange(u, dtype=jnp.int32) < u_count
+        # mid-stream stop from sorted new-bin event times (docstring above)
+        d_sorted = jnp.sort(jnp.where(front, dmin, m))
+        kj = jnp.arange(1, u + 1, dtype=jnp.int32)
+        limit_j = kld.resample_limit(
+            kj, params.min_samples, params.max_samples,
+            params.pop_err, params.pop_z,
+        )
+        d_next = jnp.concatenate(
+            [d_sorted[1:], jnp.full((1,), m, jnp.int32)]
+        )
+        n0 = jnp.maximum(d_sorted + 1, limit_j + 1)
+        cand = jnp.where(n0 <= d_next, n0, m + 1)
+        new_count = jnp.minimum(jnp.min(cand), m).astype(jnp.int32)
+        # cluster ranks among ACTIVE bins only: a bin holds an active
+        # particle iff its minimum draw index beat the stop
+        act_bin = front & (dmin < new_count)
+        rank_u, cluster_count = cluster._ranks_from_unique(
+            uk, act_bin, params.hist_shape
+        )
+        segid = jnp.cumsum(segstart.astype(jnp.int32)) - 1
+        rank_s = mxu_gather.broadcast_small(
+            rank_u.astype(jnp.float32), jnp.clip(segid, 0, u - 1)
+        ).astype(jnp.int32)
+        _, rank_d = jax.lax.sort((idx_s, rank_s), num_keys=1, is_stable=True)
+        return new_count, rank_d, cluster_count
+
+    def big_arm(_):
+        # spread beyond MAX_UNIQUE_BINS: exact draw-order flags (any K)
+        # + the grid rank path
+        _, flags = jax.lax.sort(
+            (idx_s, segstart.astype(jnp.int32)), num_keys=1, is_stable=True
+        )
+        k_n = jnp.cumsum(flags)
+        limit_n = kld.resample_limit(
+            k_n, params.min_samples, params.max_samples,
+            params.pop_err, params.pop_z,
+        )
+        n_1based = jnp.arange(1, m + 1, dtype=jnp.int32)
+        stop = n_1based > limit_n
+        new_count = jnp.where(
+            jnp.any(stop), jnp.argmax(stop).astype(jnp.int32) + 1, m
+        )
+        active = draw < new_count
+        rank_p, cluster_count = cluster._ranks_grid_path(
+            jnp.where(active, flat, 0), active, params.hist_shape
+        )
+        return new_count, rank_p, cluster_count
+
+    new_count, rank_p, cluster_count = jax.lax.cond(
+        u_count <= u, small_arm, big_arm, operand=None
+    )
+    return new_poses, new_count, rank_p, cluster_count
+
+
 def _resample_systematic(
     state: MCLState, params: PFParams, w_diff, random_pose_pool, key
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -295,14 +404,23 @@ def resample(
         0.0,
     )
 
+    ranks = None
     if model == ResampleModel.SYSTEMATIC:
         new_poses, new_count = _resample_systematic(
             state, params, w_diff, random_pose_pool, sub
         )
-    else:
+    elif params.stats_max_clusters:
+        # fleet path (vmapped): keep the grid formulations separate
         new_poses, new_count = _resample_multinomial(
             state, params, w_diff, random_pose_pool, sub
         )
+    else:
+        new_poses, new_count, rank_p, cluster_count = (
+            _resample_multinomial_fused(
+                state, params, w_diff, random_pose_pool, sub
+            )
+        )
+        ranks = (rank_p, cluster_count)
 
     m = params.max_samples
     active = jnp.arange(m) < new_count
@@ -319,7 +437,8 @@ def resample(
         w_fast=jnp.where(reset, 0.0, state.w_fast),
     )
     stats = cluster.compute_cluster_stats(
-        new_state.poses, new_state.weights, new_state.active_mask, params
+        new_state.poses, new_state.weights, new_state.active_mask, params,
+        precomputed_ranks=ranks,
     )
     new_state = new_state.replace(stats=stats)
     return update_converged(new_state, params)

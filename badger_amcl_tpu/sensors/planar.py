@@ -214,13 +214,21 @@ def bake_corr_texture(omap: OccupancyMap2D, params: PlanarScanParams,
 
 
 def _corr_dispatch(omap, scan, spose, model, params, combine_fn,
-                   fallback_fn, interpret, quantized=False):
+                   fallback_fn, interpret, quantized=False,
+                   fold_poses=None):
     """Shared stencil-correlation dispatch for the LF-family models:
     the psi texture maps distance to per-cell beam likelihood, combine_fn
     turns (sum_psi (M,), valid count) into p (M,); falls back to
     `fallback_fn()` when the cloud/yaw/range exceeds the lattice kernel's
     envelope (ops/corr_kernel.py). A texture pre-baked for this model
-    (bake_corr_texture) skips the per-step pad + psi build."""
+    (bake_corr_texture) skips the per-step pad + psi build.
+
+    fold_poses (robot poses, (M, 3)): when given, the recalcWeight factor
+    (map_factors) is FOLDED into the kernel's table read — one fused take
+    returns p * factor per particle (ops/corr_kernel._folded_take). The
+    caller must then feed the result to sensor_update with map_factor=None
+    (exactly equivalent: see pf.filter.sensor_update) and make fallback_fn
+    fold the factors itself."""
     import jax
 
     from badger_amcl_tpu.ops import corr_kernel
@@ -228,6 +236,18 @@ def _corr_dispatch(omap, scan, spose, model, params, combine_fn,
     valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
     if not corr_kernel.map_fits(omap):
         return fallback_fn()
+    fold = None
+    if fold_poses is not None:
+        factor_tex = _factor_texture(omap, params)
+        ij_f = omap.world_to_map(fold_poses[:, :2])
+        nv_beams = jnp.sum(valid)
+        fold = {
+            "combine": lambda s: combine_fn(s, nv_beams),
+            "window": lambda rows, j0, i0: jax.lax.dynamic_slice(
+                factor_tex, (j0, i0), (rows, corr_kernel.PWIN_C)),
+            "all_valid": jnp.all(omap.is_valid(ij_f)),
+            "fallback_mf": lambda: map_factors(omap, params, fold_poses),
+        }
     # dedup merges per-bin duplicate lattice offsets into weighted taps
     # (2.85x fewer on the 720-beam bench scan; value-identical). Duplicates
     # only exist where the angular beam pitch at range rounds inside one
@@ -251,9 +271,9 @@ def _corr_dispatch(omap, scan, spose, model, params, combine_fn,
             # call (2 MB vs 16 MB of preshifted copies).
             s = corr_kernel.corr_values_q(
                 omap.corr_psi_pad_q, omap.corr_psi_q, scan.ranges, pre,
-                interpret=interpret,
+                interpret=interpret, fold=fold,
             )
-            return combine_fn(s, jnp.sum(valid))
+            return s if fold is not None else combine_fn(s, jnp.sum(valid))
         if baked:
             tex_pad = omap.corr_psi_pad
         else:
@@ -264,9 +284,9 @@ def _corr_dispatch(omap, scan, spose, model, params, combine_fn,
             )
         s = corr_kernel.corr_values(
             omap, tex_pad, spose, scan.ranges, scan.angles, valid, pre,
-            interpret=interpret,
+            interpret=interpret, fold=fold,
         )
-        return combine_fn(s, jnp.sum(valid))
+        return s if fold is not None else combine_fn(s, jnp.sum(valid))
 
     def slow(_):
         return fallback_fn()
@@ -324,31 +344,42 @@ def _lf_term(params, scan):
     return term
 
 
-def _lf_model(omap, params, scan, spose, backend="xla", quantized=False):
+def _fold_mf(omap, params, fold_poses):
+    """Fallback-arm factor fold: when the corr fast path folds recalcWeight
+    factors into its table read (fold_poses given), every fallback arm must
+    return p * factor too — one shape for the whole lax.cond tree."""
+    if fold_poses is None:
+        return lambda p: p
+    return lambda p: p * map_factors(omap, params, fold_poses)
+
+
+def _lf_model(omap, params, scan, spose, backend="xla", quantized=False,
+              fold_poses=None):
     """calcLikelihoodFieldModel (planar_scanner.cpp:236-323):
     pz = z_hit exp(-z^2/2s^2) + z_rand/range_max; p = 1 + sum pz^3 over
     valid beams (max-range and NaN beams skipped)."""
     if backend in ("pallas_corr", "pallas_corr_interpret"):
         interp = backend == "pallas_corr_interpret"
         fb = "pallas_interpret" if interp else "pallas"
+        mulf = _fold_mf(omap, params, fold_poses)
         return _corr_dispatch(
             omap, scan, spose, "likelihood_field", params,
             lambda s, cnt: 1.0 + s,
-            lambda: _spread_dispatch(
+            lambda: mulf(_spread_dispatch(
                 omap, scan, spose,
                 _lf_term(params, scan),
                 lambda s: 1.0 + s,
                 lambda: _lf_model(omap, params, scan, spose, fb),
                 interpret=interp,
-            ),
-            interpret=interp, quantized=quantized,
+            )),
+            interpret=interp, quantized=quantized, fold_poses=fold_poses,
         )
     zt, valid = _beam_endpoints_dist(omap, scan, spose, backend)
     return _lf_combine(params, scan, zt, valid)
 
 
 def _lf_gompertz_model(omap, params, scan, spose, backend="xla",
-                       quantized=False):
+                       quantized=False, fold_poses=None):
     """calcLikelihoodFieldModelGompertz (planar_scanner.cpp:552-640):
     per-particle *mean* pz (note z_rand added raw, no /range_max) through the
     Gompertz squash; no valid beams -> p = 1."""
@@ -369,6 +400,7 @@ def _lf_gompertz_model(omap, params, scan, spose, backend="xla",
         fb = "pallas_interpret" if interp else "pallas"
         valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
         count = jnp.sum(valid)
+        mulf = _fold_mf(omap, params, fold_poses)
 
         def term(z):
             denom = 2.0 * params.sigma_hit * params.sigma_hit
@@ -381,19 +413,19 @@ def _lf_gompertz_model(omap, params, scan, spose, backend="xla",
 
         return _corr_dispatch(
             omap, scan, spose, "likelihood_field_gompertz", params, combine,
-            lambda: _spread_dispatch(
+            lambda: mulf(_spread_dispatch(
                 omap, scan, spose, term, finalize,
                 lambda: _lf_gompertz_model(omap, params, scan, spose, fb),
                 interpret=interp,
-            ),
-            interpret=interp, quantized=quantized,
+            )),
+            interpret=interp, quantized=quantized, fold_poses=fold_poses,
         )
     zt, valid = _beam_endpoints_dist(omap, scan, spose, backend)
     return combine_zt(zt, valid)
 
 
 def _lf_prob_model(omap, params, scan, spose, active, n_active, converged, do_beamskip,
-                   backend="xla"):
+                   backend="xla", fold_poses=None):
     """calcLikelihoodFieldModelProb (planar_scanner.cpp:325-533), log-space
     product over valid beams, optional beam skipping.
 
@@ -414,16 +446,17 @@ def _lf_prob_model(omap, params, scan, spose, active, n_active, converged, do_be
 
         interp = backend == "pallas_corr_interpret"
         fb = "pallas_interpret" if interp else "pallas"
+        mulf = _fold_mf(omap, params, fold_poses)
         return _corr_dispatch(
             omap, scan, spose, "likelihood_field_prob", params,
             lambda s, cnt: jnp.exp(s),
-            lambda: _spread_dispatch(
+            lambda: mulf(_spread_dispatch(
                 omap, scan, spose, term, jnp.exp,
                 lambda: _lf_prob_model(omap, params, scan, spose, active,
                                        n_active, converged, do_beamskip, fb),
                 interpret=interp,
-            ),
-            interpret=interp,
+            )),
+            interpret=interp, fold_poses=fold_poses,
         )
     if backend in ("pallas_corr", "pallas_corr_interpret"):
         backend = "pallas" if backend == "pallas_corr" else "pallas_interpret"
@@ -620,29 +653,54 @@ def planar_likelihood(
     converged=False,
     do_beamskip: bool = False,
     backend: str = "xla",
+    fold_factors: bool = False,
 ):
     """applyModelToSampleSet (planar_scanner.cpp:141-164): returns
     (p_model (N,), map_factor (N,)) to feed pf.sensor_update. `model`,
     `do_beamskip` and `backend` ("xla" | "pallas" | "pallas_interpret" |
     "pallas_corr" | "pallas_corr_q" | *_interpret) are static. The *_q
     backends opt in to the int8-quantized corr texture (slightly slower at
-    the flagship shape, 8x less VMEM per call — see _corr_dispatch)."""
+    the flagship shape, 8x less VMEM per call — see _corr_dispatch).
+    With fold_factors=True (static) and a corr backend, the map factor is
+    folded into p and the returned map_factor is None — single-robot
+    callers feeding sensor_update should fold (saves the separate windowed
+    factor read); callers that consume p and mf separately must not."""
     quantized = backend in ("pallas_corr_q", "pallas_corr_q_interpret")
     if quantized:
         backend = ("pallas_corr_interpret"
                    if backend.endswith("_interpret") else "pallas_corr")
+    # Factor folding (static): on the corr backends the recalcWeight factor
+    # is folded into the kernel's table read (one fused take returns
+    # p * factor; ops/corr_kernel._folded_take) and mf comes back None —
+    # pf.filter.sensor_update(state, p, None) is exactly equivalent to
+    # (state, p', mf) with p = p' * mf (see its docstring). Callers that
+    # need the split (the fleet layer batches factors itself) pass
+    # fold_factors=False.
+    fold = (
+        fold_factors
+        and backend in ("pallas_corr", "pallas_corr_interpret")
+        and (
+            model in ("likelihood_field", "likelihood_field_gompertz")
+            or (model == "likelihood_field_prob" and not do_beamskip)
+        )
+    )
+    fold_poses = poses if fold else None
     spose = coord_add(params.scanner_pose, poses)
     if model == "beam":
         p = _beam_model(omap, params, scan, spose, backend)
     elif model == "likelihood_field":
-        p = _lf_model(omap, params, scan, spose, backend, quantized)
+        p = _lf_model(omap, params, scan, spose, backend, quantized,
+                      fold_poses=fold_poses)
     elif model == "likelihood_field_prob":
         p = _lf_prob_model(
             omap, params, scan, spose, active, n_active, converged, do_beamskip,
-            backend,
+            backend, fold_poses=fold_poses,
         )
     elif model == "likelihood_field_gompertz":
-        p = _lf_gompertz_model(omap, params, scan, spose, backend, quantized)
+        p = _lf_gompertz_model(omap, params, scan, spose, backend, quantized,
+                               fold_poses=fold_poses)
     else:  # pragma: no cover
         raise ValueError(f"unknown planar model {model!r}")
+    if fold:
+        return p, None
     return p, map_factors(omap, params, poses)
