@@ -81,6 +81,11 @@ class OccupancyMap2D:
     # (sensors.planar.bake_corr_texture); rebaked on reconfigure.
     corr_psi_pad: Optional[jnp.ndarray] = None
     corr_psi_key: Optional[tuple] = None
+    # optional (8, Hp, Wp) full-texture row-preshifted copies of
+    # corr_psi_pad (ops/corr_kernel.preshift_full): lets the corr kernel
+    # DMA its active region HBM->VMEM in-kernel instead of rebuilding
+    # per-call HBM->HBM slices. Shares corr_psi_key's fingerprint.
+    corr_psi_pre: Optional[jnp.ndarray] = None
     # optional int8 ratio-quantized twin of corr_psi_pad (own 224-row
     # padding; ops/corr_kernel.py build_tex_pad_q) with its dequantization
     # constants (qstep, qoff) — shares corr_psi_key's fingerprint. The 2D
@@ -245,10 +250,11 @@ class OccupancyMap2D:
 # into the compiled HLO as constants.
 def _occ_flatten(m: OccupancyMap2D):
     leaves = (m.cells, m.distances, m.range_image, m.corr_psi_pad,
-              m.corr_psi_pad_q, m.corr_psi_q, m.factor_tex)
+              m.corr_psi_pre, m.corr_psi_pad_q, m.corr_psi_q, m.factor_tex)
     aux = (m.resolution, m.size_x, m.size_y, m.origin_x, m.origin_y,
            m.max_distance_to_object, m.distances is None, m.range_image is None,
            m.corr_psi_pad is None, m.corr_psi_key,
+           m.corr_psi_pre is None,
            m.corr_psi_pad_q is None,
            m.factor_tex is None, m.factor_key)
     return leaves, aux
@@ -256,9 +262,9 @@ def _occ_flatten(m: OccupancyMap2D):
 
 def _occ_unflatten(aux, leaves):
     (res, sx, sy, ox, oy, maxd, no_dist, no_ri, no_psi, psi_key,
-     no_psi_q, no_ftex, f_key) = aux
-    (cells, distances, range_image, corr_psi_pad, corr_psi_pad_q,
-     corr_psi_q, factor_tex) = leaves
+     no_psi_pre, no_psi_q, no_ftex, f_key) = aux
+    (cells, distances, range_image, corr_psi_pad, corr_psi_pre,
+     corr_psi_pad_q, corr_psi_q, factor_tex) = leaves
     return OccupancyMap2D(
         resolution=res, size_x=sx, size_y=sy, origin_x=ox, origin_y=oy,
         cells=cells, distances=None if no_dist else distances,
@@ -266,6 +272,7 @@ def _occ_unflatten(aux, leaves):
         range_image=None if no_ri else range_image,
         corr_psi_pad=None if no_psi else corr_psi_pad,
         corr_psi_key=psi_key,
+        corr_psi_pre=None if no_psi_pre else corr_psi_pre,
         corr_psi_pad_q=None if no_psi_q else corr_psi_pad_q,
         corr_psi_q=None if no_psi_q else corr_psi_q,
         factor_tex=None if no_ftex else factor_tex,

@@ -89,19 +89,11 @@ SLICE_R = 512
 SLICE_C = 1024
 
 
-def _kernel(
-    # scalar prefetch (SMEM)
-    meta_ref,  # (4 + T_MAX,) int32 — (t_n, row0, col0, nv, nu_0..nu_63)
-    off_ref,  # (T_MAX * B,) int32 — packed (w << 20)|(oj & 0x3FF) << 10|(oi & 0x3FF)
-    # VMEM
-    tex_ref,  # (8, SLICE_R, SLICE_C) f32 row-preshifted texture copies
-    corr_ref,  # out (T_MAX, rows, PWIN_C) f32
-    *,
-    n_beams: int,
-    rows: int,
-):
+def _bin_loop(meta_ref, off_ref, tex_ref, corr_ref, *, n_beams, rows):
+    """Shared tap loop over compacted yaw bins; `tex_ref` is any
+    (8, SLICE_R, SLICE_C) f32 ref of row-preshifted texture copies (a VMEM
+    input for _kernel, a DMA'd scratch for _kernel_pre)."""
     load_c = PWIN_C + 128
-    corr_ref[...] = jnp.zeros_like(corr_ref)
     row0 = meta_ref[1]
     col0 = meta_ref[2]
 
@@ -163,6 +155,83 @@ def _kernel(
         return 0
 
     jax.lax.fori_loop(0, meta_ref[0], per_bin, 0, unroll=False)
+
+
+def _kernel(
+    # scalar prefetch (SMEM)
+    meta_ref,  # (4 + T_MAX,) int32 — (t_n, row0, col0, nv, nu_0..nu_63)
+    off_ref,  # (T_MAX * B,) int32 — packed (w << 20)|(oj & 0x3FF) << 10|(oi & 0x3FF)
+    # VMEM
+    tex_ref,  # (8, SLICE_R, SLICE_C) f32 row-preshifted texture copies
+    corr_ref,  # out (T_MAX, rows, PWIN_C) f32
+    *,
+    n_beams: int,
+    rows: int,
+):
+    corr_ref[...] = jnp.zeros_like(corr_ref)
+    _bin_loop(meta_ref, off_ref, tex_ref, corr_ref,
+              n_beams=n_beams, rows=rows)
+
+
+def _kernel_pre(
+    # scalar prefetch (SMEM)
+    meta_ref,  # (4 + T_MAX,) int32 — as _kernel
+    org_ref,  # (2,) int32 — (sj, si) active-region origin in the padded tex
+    off_ref,  # (T_MAX * B,) int32 packed taps
+    # ANY (compiler keeps the full preshifted texture in HBM — 8 x padded
+    # map is far past VMEM)
+    pre_ref,  # (8, Hp, Wp) f32 full-texture row-preshifted copies
+    corr_ref,  # out (T_MAX, rows, PWIN_C) f32
+    tex_vmem,  # scratch (8, SLICE_R, SLICE_C) f32
+    sem,  # DMA semaphore
+    *,
+    n_beams: int,
+    rows: int,
+):
+    """Baked-texture variant: the active region is DMA'd HBM->VMEM with a
+    DYNAMIC origin inside the kernel, replacing the per-call HBM->HBM
+    preshifted_slices build (16 MB read+write, ~0.3 ms/step at the flagship
+    shape) with the HBM->VMEM transfer the kernel needs anyway (~20 us).
+    The zero-init of the output overlaps the DMA."""
+    # slice_origin aligns sj to 8 and si to 128; Mosaic needs the proof to
+    # slice the (8,128)-tiled HBM memref at a traced offset
+    sj = pl.multiple_of(org_ref[0], 8)
+    si = pl.multiple_of(org_ref[1], 128)
+    cp = pltpu.make_async_copy(
+        pre_ref.at[:, pl.ds(sj, SLICE_R), pl.ds(si, SLICE_C)],
+        tex_vmem,
+        sem,
+    )
+    cp.start()
+    corr_ref[...] = jnp.zeros_like(corr_ref)
+    cp.wait()
+    _bin_loop(meta_ref, off_ref, tex_vmem, corr_ref,
+              n_beams=n_beams, rows=rows)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_beams", "rows", "interpret")
+)
+def _corr_call_pre(tex_pre, meta, org, off, n_beams, rows, interpret=False):
+    kern = functools.partial(_kernel_pre, n_beams=n_beams, rows=rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8, SLICE_R, SLICE_C), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T_MAX, rows, PWIN_C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=40 * 1024 * 1024),
+        interpret=interpret,
+    )(meta, org, off, tex_pre)
 
 
 @functools.partial(
@@ -545,6 +614,42 @@ def slice_origin(tex_pad, j0, i0):
     return sj, si
 
 
+def preshift_full(tex_pad, offmap_psi):
+    """(8, H8, W128) full-texture row-preshifted copies — the one-shot bake
+    twin of `preshifted_slices`: copy d holds tex_pad[r + d] at row r.
+    Lives in HBM (8x the padded map, ~75 MB at 1024^2); the kernel DMAs its
+    (8, SLICE_R, SLICE_C) active region with a dynamic origin per call
+    (_kernel_pre), so no per-step HBM->HBM slice build remains.
+
+    Rows are padded up to a multiple of 8 (+8 shift margin) and cols to a
+    multiple of 128 with the off-map psi value: `slice_origin_pre`'s clamp
+    bounds (H8 - SLICE_R, W128 - SLICE_C) are then themselves 8/128-aligned
+    — the in-kernel DMA slices an (8,128)-tiled HBM memref, and Mosaic
+    requires PROVABLY aligned offsets (pl.multiple_of on an unaligned clamp
+    would silently read the wrong rows). The pad cells are never read
+    semantically: particle windows and |offsets| < PAD_R/PAD_C keep reads
+    inside the true texture."""
+    hp, wp = tex_pad.shape
+    h8 = -(-hp // 8) * 8
+    w128 = -(-wp // 128) * 128
+    tex8 = jnp.full((h8 + 8, w128), offmap_psi, tex_pad.dtype)
+    tex8 = jax.lax.dynamic_update_slice(tex8, tex_pad, (0, 0))
+    return jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(tex8, d, h8, 0) for d in range(8)]
+    )
+
+
+def slice_origin_pre(tex_pre, j0, i0):
+    """Active-region origin for the pre-DMA path, computed against the
+    ALIGNED full-preshift shape so the clamped origin stays 8/128-aligned
+    (see preshift_full). The bounds sit >= the classic slice_origin's, so
+    the windows the kernel reads keep the same in-slice fit margins."""
+    _, h8, w128 = tex_pre.shape
+    sj = jnp.clip(j0 & ~7, 0, h8 - SLICE_R)
+    si = jnp.clip(i0 & ~127, 0, w128 - SLICE_C)
+    return sj, si
+
+
 def preshifted_slices(tex_pad, sj, si):
     """(8, SLICE_R, SLICE_C) copies where copy d holds tex[r + d] at row r
     — arbitrary row origins become ALIGNED loads from copy (sr mod 8), so
@@ -760,7 +865,7 @@ def _folded_take(corr_s, pre, rows, j0, fold):
 
 
 def corr_values(omap, tex_pad, spose, ranges, angles, valid, pre,
-                interpret=False, fold=None):
+                interpret=False, fold=None, tex_pre=None):
     """Build the correlation table and gather each particle's value.
 
     tex_pad: padded psi texture from `build_tex_pad`. Returns (M,) f32 of
@@ -768,12 +873,18 @@ def corr_values(omap, tex_pad, spose, ranges, angles, valid, pre,
     per-particle p * recalcWeight-factor in one fused take (see
     `_folded_take`). fold keys: combine (elementwise table map s -> p),
     window ((rows, j0, i0) -> (rows, PWIN_C) f32 factor window in map
-    coords), all_valid (scalar bool), fallback_mf (() -> (M,) factors)."""
+    coords), all_valid (scalar bool), fallback_mf (() -> (M,) factors).
+
+    tex_pre ((8, Hp, Wp), from `preshift_full`, baked once per map):
+    the kernel DMAs the active region HBM->VMEM in-kernel instead of the
+    per-call HBM->HBM preshifted-slice build (~0.3 ms/step saved)."""
     n_beams = int(ranges.shape[0])
 
     def run(rows, j0):
-        sj, si = slice_origin(tex_pad, j0, pre["i0"])
-        tex_s = preshifted_slices(tex_pad, sj, si)
+        if tex_pre is not None:
+            sj, si = slice_origin_pre(tex_pre, j0, pre["i0"])
+        else:
+            sj, si = slice_origin(tex_pad, j0, pre["i0"])
         meta = jnp.concatenate([
             jnp.stack(
                 [pre["t_n"], j0 + PAD_R - sj, pre["i0"] + PAD_C - si,
@@ -781,10 +892,18 @@ def corr_values(omap, tex_pad, spose, ranges, angles, valid, pre,
             ).astype(jnp.int32),
             pre["nu"],
         ])
-        corr = _corr_call(
-            tex_s, meta, pre["off"], n_beams=n_beams, rows=rows,
-            interpret=interpret,
-        )
+        if tex_pre is not None:
+            org = jnp.stack([sj, si]).astype(jnp.int32)
+            corr = _corr_call_pre(
+                tex_pre, meta, org, pre["off"], n_beams=n_beams,
+                rows=rows, interpret=interpret,
+            )
+        else:
+            tex_s = preshifted_slices(tex_pad, sj, si)
+            corr = _corr_call(
+                tex_s, meta, pre["off"], n_beams=n_beams, rows=rows,
+                interpret=interpret,
+            )
         if fold is not None:
             return _folded_take(corr, pre, rows, j0, fold)
         return jnp.take(corr.reshape(-1), particle_flat(pre, rows, j0))

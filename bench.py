@@ -9,7 +9,8 @@ Measures the BASELINE.md headline metrics on the flagship config
 Three regimes are measured: *steady* (fully converged cloud — the state the
 E2E demos reach and where a production localizer spends its life),
 *tracking* (mid-convergence, wider yaw spread), and *spread*
-(global-localization-scale cloud; the exact XLA gather fallback runs).
+(global-localization-scale cloud; the sorted-tile spread kernel runs —
+ops/spread_kernel.py — with the exact XLA gather as its escape hatch).
 The primary metric is the tracking regime (the conservative of the two
 kernel regimes). The population is pinned at 50k (min == max) so every
 iteration does full-size work regardless of the KLD bound. Prints ONE JSON

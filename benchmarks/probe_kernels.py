@@ -254,6 +254,14 @@ def probe_corr(omap):
                                      scan.ranges, scan.angles, valid, pre,
                                      interpret=True)
         probe(f"corr.{name}_hw_vs_interpret", hw, it, 1e-4)
+        # pre-DMA path (baked full-texture preshifted copies + in-kernel
+        # dynamic-origin DMA): must BIT-EQUAL the per-call slice build on
+        # hardware — a wrong/unproven DMA origin reads rows 8/128 cells off
+        hw_pre = corr_kernel.corr_values(omap, omap.corr_psi_pad, poses,
+                                         scan.ranges, scan.angles, valid,
+                                         pre, interpret=INTERPRET_HW,
+                                         tex_pre=omap.corr_psi_pre)
+        probe(f"corr_pre.{name}_hw_vs_slices", hw_pre, hw, 0.0)
         # int8-quantized variant: the int32 accumulation is exact, so hw
         # must match interpret BIT-EQUALLY after the affine dequantization
         # (any roll/bitcast miscompile shows up as whole-qstep jumps)

@@ -201,3 +201,80 @@ def test_uniform_texture_degenerate():
     s = np.asarray(qscale)
     # acc = -127 * nv -> s = -127 * nv * qstep + nv * (lo + 127 qstep) = nv * lo
     np.testing.assert_allclose(-127 * s[0] + s[1], 0.625, rtol=1e-6)
+
+
+def test_preshift_full_dma_path_bit_equal(big_map):
+    """The baked full-texture preshifted copies + in-kernel dynamic-origin
+    DMA (corr_kernel._kernel_pre) return BIT-EQUAL values to the per-call
+    preshifted_slices build across all three window-height variants — the
+    DMA'd active region is the same bytes the slices held."""
+    params = PlanarScanParams()
+    scan = _scan(b=96)
+    omap_b = bake_corr_texture(big_map, params, float(scan.range_max),
+                               "likelihood_field")
+    assert omap_b.corr_psi_pre is not None
+    valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
+    for xy_sig, tag in ((0.12, "tight"), (0.23, "narrow"), (0.42, "std")):
+        poses = _poses(400, 5, center=(1.0, -0.5), xy_sig=xy_sig)
+        pre = corr_kernel.corr_prepass(
+            omap_b, poses, scan.ranges, scan.angles, valid, dedup=True)
+        assert bool(pre["fits"]), tag
+        if tag == "tight":
+            assert bool(pre["tight"])
+        elif tag == "narrow":
+            assert bool(pre["narrow"]) and not bool(pre["tight"])
+        else:
+            assert not bool(pre["narrow"])
+        args = (omap_b, omap_b.corr_psi_pad, poses, scan.ranges,
+                scan.angles, valid, pre)
+        v_old = corr_kernel.corr_values(*args, interpret=True)
+        v_new = corr_kernel.corr_values(*args, interpret=True,
+                                        tex_pre=omap_b.corr_psi_pre)
+        np.testing.assert_array_equal(np.asarray(v_new), np.asarray(v_old),
+                                      err_msg=tag)
+
+
+def test_preshift_full_dma_at_map_edges():
+    """Pre-DMA path at map corners on an ODD-sized map (450 x 470): the
+    aligned-pad clamp bounds in slice_origin_pre are exactly what keeps the
+    in-kernel DMA origin provably 8/128-aligned when the window clamps at
+    the bottom/right edges — compare bit-equal against the per-call slice
+    path everywhere."""
+    rng = np.random.default_rng(3)
+    h, w = 450, 470  # h % 8 == 2, w % 128 == 86: both pads exercised
+    cells = np.full((h, w), int(CellState.FREE), np.int8)
+    cells[0:2, :] = cells[-2:, :] = int(CellState.OCCUPIED)
+    cells[:, 0:2] = cells[:, -2:] = int(CellState.OCCUPIED)
+    for _ in range(10):
+        cx = rng.integers(20, w - 28)
+        cy = rng.integers(20, h - 28)
+        cells[cy:cy + 6, cx:cx + 6] = int(CellState.OCCUPIED)
+    omap = OccupancyMap2D.from_cells(cells, 0.05).with_distance_field(2.0)
+    params = PlanarScanParams()
+    scan = _scan(48)
+    omap_b = bake_corr_texture(omap, params, float(scan.range_max),
+                               "likelihood_field")
+    assert omap_b.corr_psi_pre.shape[1] % 8 == 0
+    assert omap_b.corr_psi_pre.shape[2] % 128 == 0
+    valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
+    res = omap.resolution
+    xmax, ymax = w // 2 * res, h // 2 * res
+    corners = [(-xmax + 0.6, -ymax + 0.6), (xmax - 0.7, -ymax + 0.6),
+               (-xmax + 0.6, ymax - 0.7), (xmax - 0.7, ymax - 0.7),
+               (0.0, 0.0)]
+    for corner in corners:
+        key = jax.random.PRNGKey(hash(corner) % (2 ** 31))
+        poses = jnp.concatenate([
+            jnp.array(corner) + 0.1 * jax.random.normal(key, (100, 2)),
+            0.04 * jax.random.normal(key, (100, 1)),
+        ], axis=1).astype(jnp.float32)
+        pre = corr_kernel.corr_prepass(
+            omap_b, poses, scan.ranges, scan.angles, valid, dedup=True)
+        assert bool(pre["fits"]), corner
+        args = (omap_b, omap_b.corr_psi_pad, poses, scan.ranges,
+                scan.angles, valid, pre)
+        v_old = corr_kernel.corr_values(*args, interpret=True)
+        v_new = corr_kernel.corr_values(*args, interpret=True,
+                                        tex_pre=omap_b.corr_psi_pre)
+        np.testing.assert_array_equal(np.asarray(v_new), np.asarray(v_old),
+                                      err_msg=str(corner))
