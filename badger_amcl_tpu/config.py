@@ -264,6 +264,28 @@ class AMCLConfig:
     def replace(self, **changes) -> "AMCLConfig":
         return dataclasses.replace(self, **changes)
 
+    def merge_params(self, raw: dict, warn=None) -> "AMCLConfig":
+        """This config updated with a reference-style param dict — the
+        dynamic_reconfigure delta contract (node.cpp:188-293): params absent
+        from `raw` keep their current values. Same alias/unread-param
+        handling as `from_params`; dataclasses.replace re-runs
+        __post_init__, so enum parsing and min<=max coercion apply."""
+        import logging
+
+        if warn is None:
+            warn = logging.getLogger("badger_amcl_tpu").warning
+        fields = {f.name for f in dataclasses.fields(type(self))}
+        changes, unknown = {}, []
+        for k, v in raw.items():
+            k = REFERENCE_PARAM_ALIASES.get(k, k)
+            if k in fields:
+                changes[k] = v
+            elif k not in REFERENCE_UNREAD_PARAMS:
+                unknown.append(k)
+        if unknown:
+            warn("Ignoring unknown config keys: %s", sorted(unknown))
+        return dataclasses.replace(self, **changes)
+
     @classmethod
     def from_params(cls, raw: dict, warn=None) -> "AMCLConfig":
         """Build a config from a reference-style rosparam dict.

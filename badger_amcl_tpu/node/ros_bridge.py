@@ -135,6 +135,49 @@ def pose_to_ros(p: msgs.PoseWithCovarianceStamped, ros_msg_cls, time_cls):
     return out
 
 
+def apply_reconfigure(node, raw: dict, warn=None) -> bool:
+    """Live-retune surface: a reference-style param dict -> `node.reconfigure`.
+
+    This is the ROS-transport equivalent of the reference's
+    dynamic_reconfigure server (node.cpp:169-171, handler :188-293): a
+    running robot sends a (partial) param dict; unspecified params keep
+    their current values; `restore_defaults: true` discards the rest of the
+    dict and reverts to the construction-time snapshot (node.cpp:201-206).
+    Returns True when a reconfigure was applied (an empty delta is a no-op,
+    mirroring the no-op first dynamic_reconfigure callback)."""
+    raw = dict(raw)
+    if raw.pop("restore_defaults", False):
+        node.reconfigure(restore_defaults=True)
+        return True
+    if not raw:
+        return False
+    node.reconfigure(node.config.merge_params(raw, warn=warn))
+    return True
+
+
+def parse_reconfigure_payload(text: str) -> dict:
+    """Decode a reconfigure topic payload (JSON or simple YAML mapping) into
+    a param dict. Raises ValueError on anything that isn't a mapping."""
+    import json
+
+    text = text.strip()
+    data = None
+    try:
+        data = json.loads(text)
+    except json.JSONDecodeError:
+        try:
+            import yaml
+
+            data = yaml.safe_load(text)
+        except ImportError:
+            raise ValueError(
+                f"reconfigure payload is not JSON and yaml is unavailable: {text!r}"
+            ) from None
+    if not isinstance(data, dict):
+        raise ValueError(f"reconfigure payload must be a mapping, got {data!r}")
+    return data
+
+
 # --- live bridge ------------------------------------------------------------
 
 
@@ -251,6 +294,20 @@ def run_ros_bridge(node, cfg, shutdown) -> int:
     )
     rospy.Service("global_localization", Empty,
                   lambda req: (node.global_localization(), EmptyResponse())[1])
+
+    # Live retune over the wire — the dynamic_reconfigure-server surface
+    # (node.cpp:169-171). Payload: JSON/YAML param mapping on a String
+    # topic (no custom srv type needed); `{"restore_defaults": true}`
+    # mirrors node.cpp:201-206.
+    from std_msgs.msg import String as RosString
+
+    def on_reconfigure(m):
+        try:
+            apply_reconfigure(node, parse_reconfigure_payload(m.data))
+        except Exception:
+            log.exception("reconfigure payload rejected: %r", m.data)
+
+    rospy.Subscriber("reconfigure", RosString, on_reconfigure, queue_size=2)
 
     rate = rospy.Rate(cfg.transform_publish_rate)
     while not rospy.is_shutdown() and not shutdown.requested:

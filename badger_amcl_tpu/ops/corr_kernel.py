@@ -217,7 +217,7 @@ def _corr_call_pre(tex_pre, meta, org, off, n_beams, rows, interpret=False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((8, SLICE_R, SLICE_C), jnp.float32),
@@ -612,6 +612,21 @@ def slice_origin(tex_pad, j0, i0):
     sj = jnp.clip(j0 & ~7, 0, hp - (SLICE_R + 8))
     si = jnp.clip(i0 & ~127, 0, wp - SLICE_C)
     return sj, si
+
+
+# HBM budget for the 8 full-texture preshifted copies (preshift_full).
+# 1024^2 maps bake ~75 MB, 2048^2 ~210 MB; a 4096^2 map would take ~680 MB
+# and 8192^2 ~2.7 GB — past this cap bake_corr_texture skips the bake and
+# corr_values falls back to the per-call preshifted_slices build
+# (~0.3 ms/step slower, no HBM blowup).
+PRESHIFT_FULL_MAX_BYTES = 256 << 20
+
+
+def preshift_fits(tex_pad) -> bool:
+    hp, wp = tex_pad.shape
+    h8 = -(-hp // 8) * 8
+    w128 = -(-wp // 128) * 128
+    return 8 * h8 * w128 * 4 <= PRESHIFT_FULL_MAX_BYTES
 
 
 def preshift_full(tex_pad, offmap_psi):

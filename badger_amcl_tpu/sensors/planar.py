@@ -213,8 +213,13 @@ def bake_corr_texture(omap: OccupancyMap2D, params: PlanarScanParams,
         pad_q, qscale = corr_kernel.build_tex_pad_q(omap, tex_psi, offmap_psi)
     # full-texture preshifted copies: the corr kernel DMAs its active
     # region from these in-kernel (dynamic origin), removing the per-call
-    # HBM->HBM slice build (~0.3 ms/step); 8x the padded map in HBM.
-    pre = corr_kernel.preshift_full(pad, offmap_psi)
+    # HBM->HBM slice build (~0.3 ms/step). 8x the padded map in HBM, so
+    # gated on PRESHIFT_FULL_MAX_BYTES (a 4096^2 map would bake ~680 MB);
+    # past the cap tex_pre stays None and corr_values uses the per-call
+    # preshifted_slices build.
+    pre = None
+    if corr_kernel.preshift_fits(pad):
+        pre = corr_kernel.preshift_full(pad, offmap_psi)
     return dataclasses.replace(omap, corr_psi_pad=pad, corr_psi_key=key,
                                corr_psi_pre=pre,
                                corr_psi_pad_q=pad_q, corr_psi_q=qscale)

@@ -171,6 +171,55 @@ def main():
 
     out["kld_first_occurrence_ms"] = timed(firstocc_only, state, args.iters)
 
+    # -- irreducible-floor probes (PERF.md floor accounting): what a step
+    # could not avoid even with zero likelihood/filter math.
+
+    @jax.jit
+    def noop_only(s):
+        # measures the chained fori_loop's per-iteration floor (loop
+        # carry shuffling + elementwise touch of the (M,3) state)
+        return s.replace(poses=s.poses * 1.0000000001)
+
+    out["floor_noop_chain_ms"] = timed(noop_only, state, args.iters)
+
+    @jax.jit
+    def sort_only(s):
+        # ONE 2-operand 50k stable sort — the unit cost the filter core's
+        # sort-based formulations are built from
+        k = (s.poses[:, 0] * 1e6).astype(jnp.int32)
+        v = jnp.arange(args.particles, dtype=jnp.int32)
+        ks, vs = jax.lax.sort((k, v), num_keys=1, is_stable=True)
+        return chain(s, vs.astype(jnp.float32))
+
+    out["floor_one_sort_ms"] = timed(sort_only, state, args.iters)
+
+    @jax.jit
+    def fusedresample_only(s):
+        new_poses, new_count, rank_p, cc = (
+            pf_filter._resample_multinomial_fused(
+                s, params, jnp.float32(0.0), pool, s.key))
+        return s.replace(poses=new_poses + rank_p[:, None] * 1e-20)
+
+    out["fused_resample_core_ms"] = timed(fusedresample_only, state, args.iters)
+
+    # corr kernel call alone (prepass hoisted OUT of the chain): the tap
+    # loop + in-kernel DMA + table read, nothing else
+    pre0 = jax.jit(
+        lambda ps: corr_kernel.corr_prepass(
+            omap, ps, scan.ranges, scan.angles, valid,
+            dedup=int(scan.ranges.shape[0]) >= 360)
+    )(state.poses)
+    jax.block_until_ready(pre0["off"])
+    if omap.corr_psi_pad is not None:
+        @jax.jit
+        def kernel_only(s):
+            v = corr_kernel.corr_values(
+                omap, omap.corr_psi_pad, s.poses, scan.ranges, scan.angles,
+                valid, pre0, tex_pre=omap.corr_psi_pre)
+            return chain(s, v)
+
+        out["corr_kernel_plus_read_ms"] = timed(kernel_only, state, args.iters)
+
     print(json.dumps(out, indent=1))
 
 

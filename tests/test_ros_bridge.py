@@ -171,3 +171,74 @@ def test_point_cloud_from_ros_bigendian_f64():
     )
     out = rb.point_cloud_from_ros(m)
     np.testing.assert_allclose(out.points, pts.astype(np.float32))
+
+
+# --- live reconfigure endpoint (node.cpp:169-171, handler :188-293) ---------
+
+
+class _FakeNode:
+    """Records reconfigure calls; carries a real AMCLConfig so
+    merge_params semantics are exercised end-to-end."""
+
+    def __init__(self):
+        from badger_amcl_tpu.config import AMCLConfig
+
+        self.config = AMCLConfig.for_2d(min_particles=100, max_particles=5000)
+        self.calls = []
+
+    def reconfigure(self, new_config=None, restore_defaults=False):
+        self.calls.append((new_config, restore_defaults))
+        if new_config is not None:
+            self.config = new_config
+
+
+def test_apply_reconfigure_merges_delta():
+    node = _FakeNode()
+    ok = rb.apply_reconfigure(
+        node, {"max_particles": 8000, "laser_scanner_off_map_factor": 0.5}
+    )
+    assert ok and len(node.calls) == 1
+    cfg, restore = node.calls[0]
+    assert not restore
+    assert cfg.max_particles == 8000
+    # alias resolved (REFERENCE_PARAM_ALIASES)
+    assert cfg.laser_off_map_factor == 0.5
+    # unspecified params keep their current values (delta contract)
+    assert cfg.min_particles == 100
+
+
+def test_apply_reconfigure_restore_defaults():
+    node = _FakeNode()
+    ok = rb.apply_reconfigure(node, {"restore_defaults": True, "max_particles": 9})
+    assert ok
+    assert node.calls == [(None, True)]  # rest of the dict discarded
+
+
+def test_apply_reconfigure_empty_delta_is_noop():
+    node = _FakeNode()
+    assert not rb.apply_reconfigure(node, {})
+    assert not rb.apply_reconfigure(node, {"restore_defaults": False})
+    assert node.calls == []
+
+
+def test_parse_reconfigure_payload():
+    import pytest
+
+    assert rb.parse_reconfigure_payload('{"max_particles": 7000}') == {
+        "max_particles": 7000
+    }
+    # YAML fallback for non-JSON payloads
+    assert rb.parse_reconfigure_payload("max_particles: 7000\nkld_err: 0.01") == {
+        "max_particles": 7000,
+        "kld_err": 0.01,
+    }
+    with pytest.raises(ValueError):
+        rb.parse_reconfigure_payload("[1, 2, 3]")
+
+
+def test_merge_params_min_max_coercion():
+    """__post_init__ re-runs on merge: min<=max coercion (node.cpp:244-249)."""
+    node = _FakeNode()
+    rb.apply_reconfigure(node, {"min_particles": 9000})
+    assert node.config.min_particles == 9000
+    assert node.config.max_particles == 9000
