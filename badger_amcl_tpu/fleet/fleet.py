@@ -216,6 +216,34 @@ def _fleet_likelihood(omap, scan_params, scans, states, laser_model, backend):
     return p, mf
 
 
+def fleet_reinit_masked(states, mask, pose_pools, params: PFParams,
+                        alpha_slow=0.001, alpha_fast=0.1):
+    """Global localization for a SUBSET of a (possibly sharded) fleet.
+
+    Robots where `mask` (R,) is True are re-initialized from their row of
+    `pose_pools` (R, M, 3) — the batched initWithPoseFn of the reference's
+    global-localization service (node.cpp:870-883, particle_filter.cpp:
+    136-162) — while the other robots' states (including PRNG keys) are
+    left untouched. Implemented as a pure per-leaf where-select over the
+    stacked state pytree, so it runs unchanged under shard_map with `mask`
+    and `pose_pools` sharded along the fleet axis (no collectives).
+
+    Masked robots consume one PRNG split; unmasked keep their old key, so
+    an unmasked robot's trajectory is bit-identical to a run where the
+    reinit never happened."""
+    keys = jax.vmap(lambda k: jax.random.split(k)[0])(states.key)
+    fresh = jax.vmap(
+        lambda k, p: pf_filter.init_with_poses(
+            params, k, p, alpha_slow, alpha_fast)
+    )(keys, jnp.asarray(pose_pools, jnp.float32))
+
+    def sel(old, new):
+        m = mask.reshape(mask.shape + (1,) * (old.ndim - 1))
+        return jnp.where(m, new, old)
+
+    return jax.tree.map(sel, states, fresh)
+
+
 def make_fleet_step(params: PFParams, odom_model=odom_models.OdomModel.DIFF,
                     laser_model="likelihood_field",
                     resample_model=ResampleModel.MULTINOMIAL,

@@ -72,6 +72,11 @@ class OccupancyMap2D:
     # optional per-angle range image for the fast beam model
     # (uint16 (K, H, W) cells; see maps/range_image.py)
     range_image: Optional[jnp.ndarray] = None
+    # optional TRANSPOSED range image (H*W, K) u16 — per-cell angle rows,
+    # contiguous in K, so one row gather fetches a particle's whole
+    # K-vector (ops/beam_spread_kernel.py). Baked alongside range_image
+    # when H*W*K*2 fits RANGE_ROWS_MAX_BYTES.
+    range_rows: Optional[jnp.ndarray] = None
     # optional pre-baked padded psi texture for the stencil-correlation
     # kernel (ops/corr_kernel.py), tagged by the FULL bake fingerprint
     # (model, range_max, z_hit, z_rand, sigma_hit — everything psi embeds;
@@ -169,11 +174,22 @@ class OccupancyMap2D:
 
     def with_range_image(self, n_angles: int = 256) -> "OccupancyMap2D":
         """Bake the per-angle range image enabling the fast beam-model path
-        (maps/range_image.py). One-shot host work, device-resident result."""
+        (maps/range_image.py). One-shot host work, device-resident result.
+        Also bakes the transposed per-cell angle rows for the spread-cloud
+        beam kernel when they fit the HBM budget."""
         from badger_amcl_tpu.maps.range_image import build_range_image
+        from badger_amcl_tpu.ops.beam_spread_kernel import RANGE_ROWS_MAX_BYTES
 
         ri = build_range_image(np.asarray(self.cells), self.resolution, n_angles)
-        return dataclasses.replace(self, range_image=jnp.asarray(ri))
+        rows = None
+        if ri.nbytes <= RANGE_ROWS_MAX_BYTES:
+            rows = jnp.asarray(
+                np.ascontiguousarray(
+                    ri.reshape(n_angles, -1).T  # (H*W, K)
+                )
+            )
+        return dataclasses.replace(
+            self, range_image=jnp.asarray(ri), range_rows=rows)
 
     @property
     def distances_lut_created(self) -> bool:
@@ -249,10 +265,12 @@ class OccupancyMap2D:
 # as leaves, geometry as hashable aux data) instead of baking the textures
 # into the compiled HLO as constants.
 def _occ_flatten(m: OccupancyMap2D):
-    leaves = (m.cells, m.distances, m.range_image, m.corr_psi_pad,
+    leaves = (m.cells, m.distances, m.range_image, m.range_rows,
+              m.corr_psi_pad,
               m.corr_psi_pre, m.corr_psi_pad_q, m.corr_psi_q, m.factor_tex)
     aux = (m.resolution, m.size_x, m.size_y, m.origin_x, m.origin_y,
            m.max_distance_to_object, m.distances is None, m.range_image is None,
+           m.range_rows is None,
            m.corr_psi_pad is None, m.corr_psi_key,
            m.corr_psi_pre is None,
            m.corr_psi_pad_q is None,
@@ -261,15 +279,16 @@ def _occ_flatten(m: OccupancyMap2D):
 
 
 def _occ_unflatten(aux, leaves):
-    (res, sx, sy, ox, oy, maxd, no_dist, no_ri, no_psi, psi_key,
+    (res, sx, sy, ox, oy, maxd, no_dist, no_ri, no_rr, no_psi, psi_key,
      no_psi_pre, no_psi_q, no_ftex, f_key) = aux
-    (cells, distances, range_image, corr_psi_pad, corr_psi_pre,
+    (cells, distances, range_image, range_rows, corr_psi_pad, corr_psi_pre,
      corr_psi_pad_q, corr_psi_q, factor_tex) = leaves
     return OccupancyMap2D(
         resolution=res, size_x=sx, size_y=sy, origin_x=ox, origin_y=oy,
         cells=cells, distances=None if no_dist else distances,
         max_distance_to_object=maxd,
         range_image=None if no_ri else range_image,
+        range_rows=None if no_rr else range_rows,
         corr_psi_pad=None if no_psi else corr_psi_pad,
         corr_psi_key=psi_key,
         corr_psi_pre=None if no_psi_pre else corr_psi_pre,

@@ -532,7 +532,24 @@ def _beam_model(omap, params, scan, spose, backend="xla"):
                 )
 
             def slow(_):
-                return _beam_model(omap, params, scan, spose, "xla")
+                # spread cloud: the sigma-sorted per-cell-row kernel
+                # (ops/beam_spread_kernel.py) when the transposed range
+                # rows are baked; exact Bresenham otherwise. This is the
+                # beam-model global-localization path (node.cpp:847-868
+                # over planar_scanner.cpp:168-234).
+                if omap.range_rows is None:
+                    return _beam_model(omap, params, scan, spose, "xla")
+                from badger_amcl_tpu.ops import beam_spread_kernel
+
+                spre = beam_spread_kernel.beam_spread_prepass(
+                    omap, spose, scan)
+                return jax.lax.cond(
+                    spre["fits"],
+                    lambda _: beam_spread_kernel.beam_spread_values(
+                        omap, params, scan, spose, spre, interpret=interp),
+                    lambda _: _beam_model(omap, params, scan, spose, "xla"),
+                    operand=None,
+                )
 
             return jax.lax.cond(pre["fits"], fast, slow, operand=None)
     map_range = raycast.calc_range(

@@ -45,30 +45,37 @@ def main():
     backend = args.backend or mcl.default_backend()
 
     def timed_chain(step_fn, state, iters):
-        """Device time per call: the whole chain runs inside ONE jit'd
-        fori_loop (each fn is state -> state, so the data dependency defeats
-        loop-invariant hoisting). A top-level python loop instead measures
-        the host's ~2-4 ms/call dispatch through the tunnel, not the chip
-        (CLAUDE.md timing rules); production hosts issue steps back-to-back
-        with sub-0.1 ms dispatch, so the chained number is the honest one.
+        """Device time per call by TWO-POINT chained measurement: the chain
+        runs inside ONE jit'd fori_loop (each fn is state -> state, so the
+        data dependency defeats loop-invariant hoisting), timed at iters and
+        4*iters with a TRACED trip count (one compile), and the slope taken.
 
-        iters must be LARGE (~100): after the first device->host readback
-        the axon tunnel enters a degraded mode with a FIXED ~30 ms penalty
-        per dispatch (a no-op 20-iter chain jumps 0.1 -> 31 ms wall the
-        moment any np.asarray of a device buffer runs; H2D doesn't trigger
-        it, nothing resets it) — at iters=20 that inflated every per-step
-        number by ~1.5 ms."""
+        Why the slope: the axon tunnel charges a FIXED per-dispatch penalty
+        after the first device->host readback — ~25 ms in a fresh process,
+        growing to ~100 ms late in a long one (benchmarks/probe_floor.py).
+        A single iters=100 read therefore inflates every per-step number by
+        0.25-1.0 ms; the two-point difference cancels any fixed cost while
+        keeping the real ~10 us/iteration loop overhead in the number.
+        Production hosts issue steps back-to-back with sub-0.1 ms dispatch,
+        so the slope is the honest per-step figure."""
+        import jax.numpy as jnp
 
         @jax.jit
-        def chain_loop(s):
-            return jax.lax.fori_loop(0, iters, lambda i, t: step_fn(t), s)
+        def chain_loop(s, n):
+            return jax.lax.fori_loop(0, n, lambda i, t: step_fn(t), s)
 
-        s = chain_loop(state)
+        lo, hi = jnp.int32(iters), jnp.int32(4 * iters)
+        s = chain_loop(state, lo)
         jax.block_until_ready(s)
         t0 = time.perf_counter()
-        s = chain_loop(s)
+        s = chain_loop(s, lo)
         jax.block_until_ready(s)
-        return (time.perf_counter() - t0) / iters, s
+        w_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s = chain_loop(s, hi)
+        jax.block_until_ready(s)
+        w_hi = time.perf_counter() - t0
+        return (w_hi - w_lo) / (3 * iters), s
 
     results = {}
     for regime, cov in (

@@ -15,6 +15,7 @@ Compiled once per (model, backend) and reused across regimes (regimes only
 change array VALUES). Prints one JSON blob; PARITY.md records the table.
 """
 
+import argparse
 import functools
 import json
 import sys
@@ -26,6 +27,36 @@ REGIMES = (
     ("tracking", (0.02, 0.02, 0.002)),
     ("spread", (2.0, 2.0, 1.0)),
 )
+
+
+def _posterior_stats(pf_filter, np, state, s1, full):
+    """The published posterior quantities for one backend run."""
+    w = np.asarray(s1.weights, np.float64)
+    poses = np.asarray(state.poses, np.float64)
+    mean = (w[:, None] * poses).sum(0)
+    d = poses - mean
+    covm = (w[:, None, None] * d[:, :, None] * d[:, None, :]).sum(0)
+    wmax, cmean = pf_filter.max_weight_cluster(full.stats)
+    return dict(
+        w=w, mean=mean, cov=covm,
+        cluster_w=float(wmax), cluster_mean=np.asarray(cmean),
+        n_active=int(full.n_active),
+    )
+
+
+def _compare(np, a, b):
+    return {
+        "weight_tv": float(0.5 * np.abs(a["w"] - b["w"]).sum()),
+        "mean_dxy_m": float(np.hypot(*(a["mean"][:2] - b["mean"][:2]))),
+        "mean_dyaw_rad": float(abs(a["mean"][2] - b["mean"][2])),
+        "cov_rel_fro": float(
+            np.linalg.norm(a["cov"] - b["cov"])
+            / max(np.linalg.norm(a["cov"]), 1e-12)),
+        "cluster_mean_dxy_m": float(
+            np.hypot(*(a["cluster_mean"][:2] - b["cluster_mean"][:2]))),
+        "cluster_w_delta": float(abs(a["cluster_w"] - b["cluster_w"])),
+        "kld_n_active": (a["n_active"], b["n_active"]),
+    }
 
 
 def run():
@@ -84,38 +115,102 @@ def run():
             post = {}
             for backend in ("xla", "pallas_corr"):
                 s1 = sensor_only(state, omap, scan_params, scan, model, backend)
-                w = np.asarray(s1.weights, np.float64)
-                poses = np.asarray(state.poses, np.float64)
-                mean = (w[:, None] * poses).sum(0)
-                d = poses - mean
-                covm = (w[:, None, None] * d[:, :, None] * d[:, None, :]).sum(0)
                 full = mcl.sensor_resample_step_jit(
                     state, omap, scan_params, scan, pool, params,
                     laser_model=model, backend=backend,
                 )
-                wmax, cmean = pf_filter.max_weight_cluster(full.stats)
-                post[backend] = dict(
-                    w=w, mean=mean, cov=covm,
-                    cluster_w=float(wmax), cluster_mean=np.asarray(cmean),
-                    n_active=int(full.n_active),
-                )
-            a, b = post["xla"], post["pallas_corr"]
-            out = {
-                "weight_tv": float(0.5 * np.abs(a["w"] - b["w"]).sum()),
-                "mean_dxy_m": float(np.hypot(*(a["mean"][:2] - b["mean"][:2]))),
-                "mean_dyaw_rad": float(abs(a["mean"][2] - b["mean"][2])),
-                "cov_rel_fro": float(
-                    np.linalg.norm(a["cov"] - b["cov"])
-                    / max(np.linalg.norm(a["cov"]), 1e-12)),
-                "cluster_mean_dxy_m": float(
-                    np.hypot(*(a["cluster_mean"][:2] - b["cluster_mean"][:2]))),
-                "cluster_w_delta": float(abs(a["cluster_w"] - b["cluster_w"])),
-                "kld_n_active": (a["n_active"], b["n_active"]),
-            }
+                post[backend] = _posterior_stats(pf_filter, np, state, s1, full)
+            out = _compare(np, post["xla"], post["pallas_corr"])
             results[f"{regime}/{model}"] = out
             print(f"# {regime}/{model}: {out}", flush=True)
-    print(json.dumps(results, indent=1))
+    return results
+
+
+def run_3d():
+    """The same posterior-divergence table for the 3D backends on chip:
+    pallas (windowed voxel kernel -> pc_spread sorted-tile kernel cascade,
+    point_cloud_likelihood) vs exact XLA voxel gather. Matches the 3D
+    reference hot path point_cloud_scanner.cpp:132-203 over octomap.cpp:
+    315-350 storage."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from badger_amcl_tpu.maps import OctoMap3D
+    from badger_amcl_tpu.pf import PFParams, init_with_gaussian, sensor_update
+    from badger_amcl_tpu.pf import filter as pf_filter
+    from badger_amcl_tpu.sensors.point_cloud import (
+        PointCloudParams, point_cloud_likelihood,
+    )
+
+    # a structured 20 x 20 x 1 m scene: border walls + columns (occupied
+    # voxels), so clouds raycast-equivalent sampling is discriminative
+    rng = np.random.default_rng(3)
+    occ = []
+    zz = np.arange(0.05, 1.0, 0.05)
+    for t in np.arange(0.05, 20.0, 0.05):
+        for z in zz[::3]:
+            occ += [(t, 0.1, z), (t, 19.9, z), (0.1, t, z), (19.9, t, z)]
+    for _ in range(14):
+        cx, cy = rng.uniform(2, 18, 2)
+        for dx in np.arange(-0.2, 0.25, 0.05):
+            for dy in np.arange(-0.2, 0.25, 0.05):
+                for z in zz[::2]:
+                    occ.append((cx + dx, cy + dy, z))
+    occ = np.asarray(occ, np.float32)
+    omap = OctoMap3D.from_occupied_points(
+        occ, 0.05, 0.36, metric_min=(0, 0, 0), metric_max=(20, 20, 1.0)
+    ).with_distance_field()
+
+    # cloud CONSISTENT with the map: occupied points near the true pose,
+    # expressed in the base frame (what a real depth sensor would return)
+    true_pose = np.array([6.0, 8.0, 0.7])
+    d = np.linalg.norm(occ[:, :2] - true_pose[:2], axis=1)
+    near = occ[(d > 0.5) & (d < 6.0)]
+    sel = near[rng.choice(len(near), 256, replace=False)]
+    c, s = np.cos(-true_pose[2]), np.sin(-true_pose[2])
+    rel = sel[:, :2] - true_pose[:2]
+    base_xy = np.stack([c * rel[:, 0] - s * rel[:, 1],
+                        s * rel[:, 0] + c * rel[:, 1]], axis=1)
+    cloud = jnp.asarray(
+        np.concatenate([base_xy, sel[:, 2:3]], axis=1), jnp.float32)
+    pc_params = PointCloudParams()
+    n = 50_000
+    params = PFParams(min_samples=n, max_samples=n)
+    pool = jnp.zeros((n, 3))
+
+    @functools.partial(jax.jit, static_argnames=("model", "backend"))
+    def steps(state, model, backend):
+        p, mf = point_cloud_likelihood(
+            omap, pc_params, cloud, state.poses, model, backend)
+        s1 = sensor_update(state, p, mf)
+        full = pf_filter.resample(s1, params, pool)
+        return s1, full
+
+    results = {}
+    for model in ("likelihood_field", "likelihood_field_gompertz"):
+        for regime, cov in REGIMES:
+            state = init_with_gaussian(
+                params, jax.random.PRNGKey(0), jnp.asarray(true_pose),
+                jnp.diag(jnp.asarray(cov, jnp.float32)),
+            )
+            post = {}
+            for backend in ("xla", "pallas"):
+                s1, full = steps(state, model, backend)
+                post[backend] = _posterior_stats(pf_filter, np, state, s1, full)
+            out = _compare(np, post["xla"], post["pallas"])
+            results[f"3d/{regime}/{model}"] = out
+            print(f"# 3d/{regime}/{model}: {out}", flush=True)
+    return results
 
 
 if __name__ == "__main__":
-    run()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--what", default="2d,3d", help="comma list: 2d,3d")
+    args = ap.parse_args()
+    results = {}
+    if "2d" in args.what.split(","):
+        results.update(run())
+    if "3d" in args.what.split(","):
+        results.update(run_3d())
+    print(json.dumps(results, indent=1))

@@ -373,6 +373,57 @@ def probe_beam():
     probe("beam.hw_vs_interpret", hw, it, 1e-4)
 
 
+def probe_beam_spread():
+    """Spread-cloud beam kernel (ops/beam_spread_kernel.py): hw vs
+    interpret, plus exactness vs the direct sigma+kappa slab formulation
+    in numpy (the one-hot table read is exact; sums are reassociated)."""
+    from badger_amcl_tpu.ops import beam_spread_kernel as bsk
+
+    omap = make_map(320, seed=6).with_range_image(n_angles=128)
+    params = PlanarScanParams()
+    b = 48
+    scan = scan_of(b, rmax=8.0, rcap=7.0)
+    m = 6144
+    rng = np.random.default_rng(12)
+    poses = jnp.asarray(np.stack([
+        rng.uniform(-7.0, 7.0, m), rng.uniform(-7.0, 7.0, m),
+        rng.uniform(-np.pi, np.pi, m)], axis=1), jnp.float32)
+    pre = bsk.beam_spread_prepass(omap, poses, scan)
+    assert bool(pre["fits"])
+    hw = bsk.beam_spread_values(omap, params, scan, poses, pre,
+                                interpret=INTERPRET_HW)
+    it = bsk.beam_spread_values(omap, params, scan, poses, pre,
+                                interpret=True)
+    probe("beam_spread.hw_vs_interpret", hw, it, 1e-4)
+
+    k = int(omap.range_image.shape[0])
+    ri = np.asarray(omap.range_image)
+    pn = np.asarray(poses, np.float64)
+    ij = np.asarray(omap.world_to_map(poses[:, :2]))
+    ci = np.clip(ij[:, 0], 0, omap.size_x - 1)
+    cj = np.clip(ij[:, 1], 0, omap.size_y - 1)
+    bin_inv = k / (2 * np.pi)
+    sig = np.mod(np.round(pn[:, 2] * bin_inv).astype(np.int64), k)
+    kap = np.mod(np.round(np.asarray(scan.angles, np.float64) * bin_inv)
+                 .astype(np.int64), k)
+    slabs = np.mod(sig[:, None] + kap[None, :], k)
+    rmax = float(scan.range_max)
+    map_r = np.minimum(
+        ri[slabs, cj[:, None], ci[:, None]].astype(np.float64)
+        * omap.resolution, rmax)
+    obs = np.asarray(scan.ranges, np.float64)[None, :]
+    z = obs - map_r
+    p0 = float(params.z_hit) * np.exp(
+        -(z * z) / (2 * float(params.sigma_hit) ** 2))
+    p0 += np.where(z < 0, float(params.z_short) * float(params.lambda_short)
+                   * np.exp(-float(params.lambda_short) * obs), 0.0)
+    p0 += np.where(obs == rmax, float(params.z_max), 0.0)
+    p0 += np.where(obs < rmax, float(params.z_rand) / rmax, 0.0)
+    want = 1.0 + (p0 ** 3).sum(axis=1)
+    probe("beam_spread.hw_vs_numpy", hw, want, 1e-3,
+          frac_exact=0.99, flip_tol=1.0)
+
+
 def main():
     dev = jax.devices()[0]
     print(f"probing on {dev.platform} ({dev.device_kind})", file=sys.stderr)
@@ -383,6 +434,7 @@ def main():
     probe_spread(omap)
     probe_pc()
     probe_beam()
+    probe_beam_spread()
     ok = all(r["ok"] for r in RESULTS.values())
     print(json.dumps({"ok": ok, "platform": dev.platform,
                       "device": str(dev.device_kind), "probes": RESULTS}))

@@ -16,21 +16,36 @@ sys.path.insert(0, ".")
 
 
 def timed(fn, state0, iters=100):
-    """Device time per call: the whole chain runs inside ONE jit'd fori_loop
-    (each phase fn is state -> state, so the data dependency defeats
-    loop-invariant hoisting), amortizing the ~1.7 ms tunnel dispatch."""
+    """Device time per call by TWO-POINT chained measurement.
+
+    The chain runs inside ONE jit'd fori_loop (each phase fn is
+    state -> state, so the data dependency defeats loop-invariant
+    hoisting). Timing the SAME chain at iters and 4*iters and taking the
+    slope cancels the tunnel's FIXED per-dispatch cost — measured at
+    ~25 ms in a fresh process and growing to ~100 ms late in a long one
+    (benchmarks/probe_floor.py), which at a single iters=100 read would
+    inflate every number by 0.25-1.0 ms/iter."""
     import jax
 
-    @jax.jit
-    def chain_loop(s):
-        return jax.lax.fori_loop(0, iters, lambda i, t: fn(t), s)
+    import jax.numpy as jnp
 
-    s = chain_loop(state0)
+    @jax.jit
+    def chain_loop(s, n):
+        # n is TRACED: one compilation serves both iteration counts
+        return jax.lax.fori_loop(0, n, lambda i, t: fn(t), s)
+
+    lo, hi = jnp.int32(iters), jnp.int32(4 * iters)
+    s = chain_loop(state0, lo)
     jax.block_until_ready(s)
     t0 = time.perf_counter()
-    s = chain_loop(s)
+    s = chain_loop(s, lo)
     jax.block_until_ready(s)
-    return (time.perf_counter() - t0) / iters * 1e3
+    w_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s = chain_loop(s, hi)
+    jax.block_until_ready(s)
+    w_hi = time.perf_counter() - t0
+    return (w_hi - w_lo) / (3 * iters) * 1e3
 
 
 def main():
