@@ -1,0 +1,159 @@
+"""Kidnapped-robot recovery latency on the production 2D config.
+
+The system metric the whole recovery machinery exists for (SURVEY §3.5,
+particle_filter.cpp:170-220, node.cpp:847-883): starting from a TRACKING
+filter, teleport the robot, fire the global_localization service, and count
+scan updates until the filter is re-converged AND the published pose is
+back within `xy_tol` of the true pose. Seed-averaged; run on the TPU.
+
+Reported per seed: steps from kidnap to recovery, plus wall seconds. The
+wall number through the axon tunnel is dispatch-dominated (~30 ms/step
+fixed, CLAUDE.md) — the honest device-time estimate multiplies the step
+count by the chained per-step costs at this config's shapes (the config
+suite's 2d rows); the artifact records both.
+
+Config: the shipped production mirror (examples/amcl_2d.yaml — faithful
+to badger_amcl_2d.launch) at its production particle range (2000..8000,
+launch :50-51) and 60 beams (:70-79), on the sim's 12 x 12 m pillar room.
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_seed(seed, args):
+    import numpy as np
+
+    from badger_amcl_tpu.cli import load_config
+    from badger_amcl_tpu.node import make_node
+    from badger_amcl_tpu.sim import Sim2D, make_room_grid
+
+    cfg = load_config(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "amcl_2d.yaml"))
+    cfg = cfg.replace(
+        min_particles=2000,
+        max_particles=8000,
+        update_min_d=0.05,
+        update_min_a=0.05,
+        saved_pose_filepath=tempfile.mktemp(suffix=".yaml"),
+        save_pose=False,
+    )
+    rng = np.random.default_rng(seed)
+    starts = [(-3.0, -3.0, 0.3), (2.0, -3.5, 1.2), (-3.5, 2.5, -0.6),
+              (3.0, 2.0, 2.4), (0.0, -4.0, 0.0)]
+    kidnaps = [(3.0, 3.0, -2.0), (-4.0, 1.0, 0.8), (4.0, -2.0, 1.9),
+               (-2.0, -4.0, -1.2), (-4.5, 4.0, 2.8)]
+    start = starts[seed % len(starts)]
+    target = kidnaps[seed % len(kidnaps)]
+
+    grid = make_room_grid(n=240, resolution=0.05, n_pillars=12)
+    sim = Sim2D(grid, start_pose=start, n_beams=60,
+                base_frame=cfg.base_frame_id, seed=seed)
+    node = make_node(cfg, tf_buffer=sim.tf)
+    node.init_pose = np.array(start)
+    node.init_cov = np.array([0.25, 0.25, 0.05])
+    pose_log = []
+    node.subscribe_output("amcl_pose", pose_log.append)
+    node.map_msg_received(grid)
+
+    def err_xy():
+        if not pose_log:
+            return float("inf")
+        est = pose_log[-1].pose
+        return math.hypot(est[0] - sim.true_pose[0],
+                          est[1] - sim.true_pose[1])
+
+    def drive(v, w):
+        odom = sim.step(v, w)
+        node.integrate_odom(odom)
+        node.scan_received(sim.make_scan())
+        node.spin_once(sim.t)
+
+    # phase 1: track until converged and accurate
+    warm = 0
+    while warm < args.max_warmup and not (
+            bool(node.state.converged) and err_xy() < args.xy_tol):
+        drive(0.3, 0.15)
+        warm += 1
+    tracked = bool(node.state.converged) and err_xy() < args.xy_tol
+
+    # phase 2: kidnap + global localization. Two recovery milestones:
+    # - pose re-acquired: err_xy < tol on 3 CONSECUTIVE updates (what the
+    #   robot cares about — navigation can resume)
+    # - filter converged: updateConverged fires (particle_filter.cpp:
+    #   170-220) — trails pose recovery while KLD sheds outlier modes
+    sim.teleport(target)
+    node.global_localization()
+    t0 = time.perf_counter()
+    steps = 0
+    step_pose = None
+    step_conv = None
+    good_run = 0
+    while steps < args.max_steps:
+        drive(0.5, 0.4)
+        steps += 1
+        good_run = good_run + 1 if err_xy() < args.xy_tol else 0
+        if step_pose is None and good_run >= 3:
+            step_pose = steps
+        if step_conv is None and bool(node.state.converged) \
+                and err_xy() < args.xy_tol:
+            step_conv = steps
+        if step_pose is not None and step_conv is not None:
+            break
+    wall_s = time.perf_counter() - t0
+    return {
+        "seed": seed, "tracked": tracked, "warmup_steps": warm,
+        "recovered": step_pose is not None,
+        "steps_to_pose": step_pose, "steps_to_converged": step_conv,
+        "wall_s": round(wall_s, 2), "final_err_xy": round(err_xy(), 3),
+        "n_active_end": int(node.state.n_active),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--max-steps", type=int, default=150)
+    ap.add_argument("--max-warmup", type=int, default=40)
+    ap.add_argument("--xy-tol", type=float, default=0.5)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    results = []
+    for seed in range(args.seeds):
+        r = run_seed(seed, args)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+    rec = [r for r in results if r["recovered"]]
+    conv = [r for r in results if r["steps_to_converged"] is not None]
+    out = {
+        "device": str(jax.devices()[0]),
+        "config": "production 2d (amcl_2d.yaml, 2000..8000 x 60)",
+        "seeds": args.seeds,
+        "recovered": len(rec),
+        "mean_steps_to_pose": (
+            sum(r["steps_to_pose"] for r in rec) / max(len(rec), 1)),
+        "mean_steps_to_converged": (
+            sum(r["steps_to_converged"] for r in conv) / max(len(conv), 1)
+            if conv else None),
+        "mean_wall_s": sum(r["wall_s"] for r in rec) / max(len(rec), 1),
+        "results": results,
+    }
+    print(json.dumps(out))
+    return 0 if len(rec) == args.seeds else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
