@@ -173,6 +173,10 @@ def parse_reconfigure_payload(text: str) -> dict:
             raise ValueError(
                 f"reconfigure payload is not JSON and yaml is unavailable: {text!r}"
             ) from None
+        except Exception as e:  # yaml.YAMLError: keep the ValueError contract
+            raise ValueError(
+                f"reconfigure payload is neither JSON nor YAML: {text!r}"
+            ) from e
     if not isinstance(data, dict):
         raise ValueError(f"reconfigure payload must be a mapping, got {data!r}")
     return data

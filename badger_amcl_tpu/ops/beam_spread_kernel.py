@@ -225,10 +225,15 @@ def beam_spread_prepass(omap, spose, scan):
 def _phi_tables(omap, params, scan, pre):
     """(K, 1, V) f32: Phi[g, 0, v] = sum over beams with slab offset g of
     pz(obs_b, m(v))^3, m(v) = min(v*res, range_max) — the 4-part beam
-    mixture (planar_scanner.cpp:196-225; the beam model skips NaN beams
-    only, max-range beams contribute z_max)."""
+    mixture (planar_scanner.cpp:196-225). Unlike the LF models
+    (planar_scanner.cpp:281-282), calcBeamModel has NO NaN-beam skip: a NaN
+    range makes pz NaN and poisons every particle's p (the node layer passes
+    NaN ranges through, node_2d.cpp:553), driving total weight non-positive
+    and triggering the uniform-reset path — a preserved reference quirk.
+    Here the NaN rides the mixture terms into the Phi contraction (0 * NaN
+    is NaN, so every table row goes NaN) and every particle's kernel sum is
+    NaN, exactly matching the exact-fallback arm's behavior."""
     obs = scan.ranges.astype(jnp.float32)[:, None]  # (B, 1)
-    ok = ~jnp.isnan(scan.ranges)[:, None]
     m_v = jnp.minimum(
         jnp.arange(V, dtype=jnp.float32)[None, :] * omap.resolution,
         scan.range_max,
@@ -244,7 +249,7 @@ def _phi_tables(omap, params, scan, pre):
     )
     pz = pz + jnp.where(obs == scan.range_max, params.z_max, 0.0)
     pz = pz + jnp.where(obs < scan.range_max, params.z_rand / scan.range_max, 0.0)
-    terms = jnp.where(ok, pz * pz * pz, 0.0)  # (B, V)
+    terms = pz * pz * pz  # (B, V); NaN beams propagate (see docstring)
     # segment over slab offsets via the prepass one-hot: (K, B) @ (B, V)
     phi = jax.lax.dot_general(
         pre["kap_onehot"].astype(jnp.float32).T, terms,

@@ -7,28 +7,13 @@ import time
 sys.path.insert(0, ".")
 
 
+from benchmarks.timing import timed_ms
+
+
 def timed(fn, x, iters=5):
-    """Two-point chained slope (cancels the tunnel's fixed per-dispatch
-    cost, 25-100 ms measured — at iters=5 that inflated every number by
-    5-20 ms; see benchmarks/probe_floor.py)."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def loop(v, n):
-        return jax.lax.fori_loop(0, n, lambda i, t: fn(t), v)
-
-    y = loop(x, jnp.int32(iters))
-    jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    y = loop(y, jnp.int32(iters))
-    jax.block_until_ready(y)
-    w_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    y = loop(y, jnp.int32(4 * iters))
-    jax.block_until_ready(y)
-    w_hi = time.perf_counter() - t0
-    return (w_hi - w_lo) / (3 * iters) * 1e3
+    """Interleaved two-point slope (benchmarks/timing.py) — cancels the
+    tunnel's fixed per-dispatch cost AND its linear drift (advisor r4)."""
+    return timed_ms(fn, x, iters=iters)
 
 def main():
     import jax

@@ -216,3 +216,28 @@ def test_beam_spread_engages_in_dispatch(beam_map):
     assert np.hypot(*(mk[:2] - mx[:2])) < 0.25, (mk, mx)
     c = np.corrcoef(pk, px)[0, 1]
     assert c > 0.95, c
+
+
+def test_beam_spread_nan_beam_poisons_all_particles(beam_map):
+    """Preserved reference quirk: calcBeamModel has NO NaN-beam skip
+    (planar_scanner.cpp:168-234; the NaN skip at :281-282 is the LF models'),
+    so a NaN range poisons p for every particle and drives the filter's
+    zero-total uniform reset. The spread kernel arm must match its exact
+    fallback arm here (advisor round-4 medium finding)."""
+    from badger_amcl_tpu.ops import beam_spread_kernel as bsk
+
+    m, b = 256, 24
+    rng = np.random.default_rng(3)
+    poses = np.stack([
+        rng.uniform(-7.0, 7.0, m), rng.uniform(-7.0, 7.0, m),
+        rng.uniform(-np.pi, np.pi, m)], axis=1).astype(np.float32)
+    spose = jnp.asarray(poses)
+    angles = jnp.linspace(-2.0, 2.0, b).astype(jnp.float32)
+    ranges = np.full((b,), 3.0, np.float32)
+    ranges[7] = np.nan
+    scan = PlanarScan(ranges=jnp.asarray(ranges), angles=angles,
+                      range_max=jnp.float32(8.0))
+    pre = bsk.beam_spread_prepass(beam_map, spose, scan)
+    got = np.asarray(bsk.beam_spread_values(
+        beam_map, PlanarScanParams(), scan, spose, pre, interpret=True))
+    assert np.all(np.isnan(got)), "NaN beam must poison every particle"

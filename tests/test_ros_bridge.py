@@ -234,6 +234,10 @@ def test_parse_reconfigure_payload():
     }
     with pytest.raises(ValueError):
         rb.parse_reconfigure_payload("[1, 2, 3]")
+    # malformed YAML (yaml importable, text unparseable) must surface as the
+    # documented ValueError, not a raw yaml.YAMLError (advisor round-4)
+    with pytest.raises(ValueError):
+        rb.parse_reconfigure_payload("a: [unclosed")
 
 
 def test_merge_params_min_max_coercion():
