@@ -16,7 +16,12 @@ from badger_amcl_tpu.pf import filter as pf_filter
 from badger_amcl_tpu.pf.filter import ResampleModel
 from badger_amcl_tpu.pf.types import MCLState, PFParams
 from badger_amcl_tpu.sensors import odom as odom_models
-from badger_amcl_tpu.sensors.planar import PlanarScan, PlanarScanParams, planar_likelihood
+from badger_amcl_tpu.sensors.planar import (
+    PlanarScan,
+    PlanarScanParams,
+    planar_likelihood,
+    planar_likelihood_cells,
+)
 
 
 def mcl_step_2d(
@@ -73,9 +78,39 @@ def sensor_resample_step(
     laser_model: str = "likelihood_field",
     resample_model: ResampleModel = ResampleModel.MULTINOMIAL,
     backend: str = "xla",
+    resample_contract: str = "pick",
 ) -> MCLState:
     """The BASELINE.md benchmark unit: sensor update + KLD resample (no
-    motion model), matching 'full sensor-update + KLD-resample step'."""
+    motion model), matching 'full sensor-update + KLD-resample step'.
+
+    resample_contract (static): "pick" — the reference-exact per-particle
+    multinomial/systematic picks (default); "cell" — the cell-space
+    multinomial contract (pf.filter.sensor_resample_cells):
+    distribution-identical sampling that reads per-occupied-lattice-cell
+    instead of per-particle (the measured ~0.8 ms/step platform floor of
+    pick-level resampling at 50k, PERF.md). "cell" requires a corr backend
+    + multinomial + a CELL_MODELS laser model, and transparently runs the
+    pick-level path on any step whose cloud leaves the cell envelope."""
+    if resample_contract == "cell":
+        if resample_model != ResampleModel.MULTINOMIAL:
+            raise ValueError("cell contract requires multinomial resampling")
+        tbl, key_m, ok = planar_likelihood_cells(
+            omap, scan_params, scan, state.poses, laser_model, backend
+        )
+
+        def classic(ated=None):
+            p, mf = planar_likelihood(
+                omap, scan_params, scan, state.poses, state.active_mask,
+                state.n_active, laser_model, converged=state.converged,
+                do_beamskip=False, backend=backend, fold_factors=True,
+            )
+            s2 = pf_filter.sensor_update(state, p, mf)
+            return pf_filter.resample(
+                s2, params, random_pose_pool, resample_model)
+
+        return pf_filter.sensor_resample_cells(
+            state, params, random_pose_pool, tbl, key_m, ok, classic
+        )
     p, mf = planar_likelihood(
         omap, scan_params, scan, state.poses, state.active_mask, state.n_active,
         laser_model, converged=state.converged, do_beamskip=False,
@@ -87,7 +122,8 @@ def sensor_resample_step(
 
 sensor_resample_step_jit = jax.jit(
     sensor_resample_step,
-    static_argnames=("params", "laser_model", "resample_model", "backend"),
+    static_argnames=("params", "laser_model", "resample_model", "backend",
+                     "resample_contract"),
 )
 
 

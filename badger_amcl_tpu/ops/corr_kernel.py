@@ -879,6 +879,51 @@ def _folded_take(corr_s, pre, rows, j0, fold):
     return jax.lax.cond(fold["all_valid"], folded, generic, operand=None)
 
 
+def _corr_table(tex_pad, pre, n_beams, rows, j0, interpret, tex_pre):
+    """Run the correlation kernel for one window variant: returns the raw
+    (T_MAX * rows, PWIN_C) psi-sum table (shared by `corr_values` and
+    `corr_cells`)."""
+    if tex_pre is not None:
+        sj, si = slice_origin_pre(tex_pre, j0, pre["i0"])
+    else:
+        sj, si = slice_origin(tex_pad, j0, pre["i0"])
+    meta = jnp.concatenate([
+        jnp.stack(
+            [pre["t_n"], j0 + PAD_R - sj, pre["i0"] + PAD_C - si,
+             pre["nv"]]
+        ).astype(jnp.int32),
+        pre["nu"],
+    ])
+    if tex_pre is not None:
+        org = jnp.stack([sj, si]).astype(jnp.int32)
+        return _corr_call_pre(
+            tex_pre, meta, org, pre["off"], n_beams=n_beams,
+            rows=rows, interpret=interpret,
+        )
+    tex_s = preshifted_slices(tex_pad, sj, si)
+    return _corr_call(
+        tex_s, meta, pre["off"], n_beams=n_beams, rows=rows,
+        interpret=interpret,
+    )
+
+
+def _window_cond_tree(pre, run):
+    """Dispatch run(rows, j0) over the tight/narrow/standard window
+    variants (one shape out — run must return identically-shaped pytrees
+    for every variant)."""
+    return jax.lax.cond(
+        pre["tight"],
+        lambda _: run(PWIN_R_TIGHT, pre["j0_tight"]),
+        lambda _: jax.lax.cond(
+            pre["narrow"],
+            lambda __: run(PWIN_R_NARROW, pre["j0_narrow"]),
+            lambda __: run(PWIN_R, pre["j0"]),
+            operand=None,
+        ),
+        operand=None,
+    )
+
+
 def corr_values(omap, tex_pad, spose, ranges, angles, valid, pre,
                 interpret=False, fold=None, tex_pre=None):
     """Build the correlation table and gather each particle's value.
@@ -896,41 +941,47 @@ def corr_values(omap, tex_pad, spose, ranges, angles, valid, pre,
     n_beams = int(ranges.shape[0])
 
     def run(rows, j0):
-        if tex_pre is not None:
-            sj, si = slice_origin_pre(tex_pre, j0, pre["i0"])
-        else:
-            sj, si = slice_origin(tex_pad, j0, pre["i0"])
-        meta = jnp.concatenate([
-            jnp.stack(
-                [pre["t_n"], j0 + PAD_R - sj, pre["i0"] + PAD_C - si,
-                 pre["nv"]]
-            ).astype(jnp.int32),
-            pre["nu"],
-        ])
-        if tex_pre is not None:
-            org = jnp.stack([sj, si]).astype(jnp.int32)
-            corr = _corr_call_pre(
-                tex_pre, meta, org, pre["off"], n_beams=n_beams,
-                rows=rows, interpret=interpret,
-            )
-        else:
-            tex_s = preshifted_slices(tex_pad, sj, si)
-            corr = _corr_call(
-                tex_s, meta, pre["off"], n_beams=n_beams, rows=rows,
-                interpret=interpret,
-            )
+        corr = _corr_table(tex_pad, pre, n_beams, rows, j0, interpret,
+                           tex_pre)
         if fold is not None:
             return _folded_take(corr, pre, rows, j0, fold)
         return jnp.take(corr.reshape(-1), particle_flat(pre, rows, j0))
 
-    return jax.lax.cond(
-        pre["tight"],
-        lambda _: run(PWIN_R_TIGHT, pre["j0_tight"]),
-        lambda _: jax.lax.cond(
-            pre["narrow"],
-            lambda __: run(PWIN_R_NARROW, pre["j0_narrow"]),
-            lambda __: run(PWIN_R, pre["j0"]),
-            operand=None,
-        ),
-        operand=None,
-    )
+    return _window_cond_tree(pre, run)
+
+
+# Flat capacity of the cell-contract table (the standard window variant's
+# size; narrow/tight tables are zero-padded up to it so every lax.cond arm
+# returns one static shape).
+T_FLAT_CELLS = T_MAX * PWIN_R * PWIN_C
+
+
+def corr_cells(omap, tex_pad, spose, ranges, angles, valid, pre,
+               interpret=False, fold=None, tex_pre=None):
+    """Cell-space variant of `corr_values` + fold: returns
+    (tbl (T_FLAT_CELLS,) f32, key (M,) int32, ok bool) — the folded
+    per-cell p * recalcWeight-factor table and each particle's flat lattice
+    cell key, WITHOUT the per-particle take (the single largest per-step
+    cost at 50k particles, PERF.md "Floor accounting"). Feed to
+    pf.filter.sensor_resample_cells, which samples cells by mass and
+    members uniformly within a cell (distribution-identical when active
+    weights are uniform — particles sharing a lattice cell see identical
+    likelihood and factor, so they are exchangeable).
+
+    ok requires fold["all_valid"]: off-map particles take per-particle
+    fallback factors (recalcWeight, planar_scanner.cpp:646-650), which are
+    not cell-constant — such steps use the pick-level path instead.
+    `fold` is mandatory here (the contract folds factors table-side)."""
+    n_beams = int(ranges.shape[0])
+
+    def run(rows, j0):
+        corr = _corr_table(tex_pad, pre, n_beams, rows, j0, interpret,
+                           tex_pre)
+        c2 = fold["combine"](corr) * fold["window"](rows, j0, pre["i0"])[None]
+        flat = c2.reshape(-1)
+        tbl = jnp.zeros((T_FLAT_CELLS,), jnp.float32)
+        tbl = jax.lax.dynamic_update_slice(tbl, flat, (0,))
+        return tbl, particle_flat(pre, rows, j0)
+
+    tbl, key = _window_cond_tree(pre, run)
+    return tbl, key, pre["fits"] & fold["all_valid"]

@@ -255,9 +255,26 @@ def _resample_multinomial_fused(state, params, w_diff, random_pose_pool, key):
     (the post-resample stats re-sorted the very same poses; sharing saves
     two 50k-element multi-operand sorts and a grid pass per step).
 
-    Returns (new_poses, new_count, rank_p, cluster_count). Semantics match
-    the separate path exactly, with two documented differences confined to
-    conservative-approximation territory:
+    Returns (new_poses, new_count, rank_p, cluster_count)."""
+    m = params.max_samples
+    k1, k2 = jax.random.split(key)
+    use_random = jax.random.uniform(k1, (m,)) < w_diff
+    r = jax.random.uniform(k2, (m,))
+    idx = _pick_indices(state.weights, r)
+    picked = mxu_gather.gather_rows(state.poses, idx)
+    new_poses = jnp.where(use_random[:, None], random_pose_pool, picked)
+    new_count, rank_p, cluster_count = _kld_stop_and_ranks(new_poses, params)
+    return new_poses, new_count, rank_p, cluster_count
+
+
+def _kld_stop_and_ranks(new_poses, params):
+    """Mid-stream KLD stop + cluster-rank machinery over a full (M, 3)
+    resample candidate set in draw order (shared by the pick-level fused
+    path and the cell-space contract).
+
+    Semantics match the separate prefix-scan + compute_cluster_stats path
+    exactly, with two documented differences confined to conservative-
+    approximation territory:
     - the stats bin grid is positioned at the min bin over ALL max_samples
       candidates (the KLD stop always used that origin) instead of the
       active subset's min — identical unless the candidate spread exceeds
@@ -272,13 +289,6 @@ def _resample_multinomial_fused(state, params, w_diff, random_pose_pool, key):
     min_j max(D_j + 1, limit(j) + 1) clipped to that interval — verified
     equal to the prefix-scan formulation by tests/test_resample_oracle.py."""
     m = params.max_samples
-    k1, k2 = jax.random.split(key)
-    use_random = jax.random.uniform(k1, (m,)) < w_diff
-    r = jax.random.uniform(k2, (m,))
-    idx = _pick_indices(state.weights, r)
-    picked = mxu_gather.gather_rows(state.poses, idx)
-    new_poses = jnp.where(use_random[:, None], random_pose_pool, picked)
-
     ones = jnp.ones((m,), bool)
     _, flat = kld.grid_cells(kld.bin_keys(new_poses), ones, params.hist_shape)
     draw = jnp.arange(m, dtype=jnp.int32)
@@ -345,10 +355,9 @@ def _resample_multinomial_fused(state, params, w_diff, random_pose_pool, key):
         )
         return new_count, rank_p, cluster_count
 
-    new_count, rank_p, cluster_count = jax.lax.cond(
+    return jax.lax.cond(
         u_count <= u, small_arm, big_arm, operand=None
     )
-    return new_poses, new_count, rank_p, cluster_count
 
 
 def _resample_systematic(
@@ -442,6 +451,220 @@ def resample(
     )
     new_state = new_state.replace(stats=stats)
     return update_converged(new_state, params)
+
+
+# ---------------------------------------------------------------------------
+# Cell-space resampling contract
+#
+# PERF.md "Floor accounting": the pick-level multinomial pins ~0.8 ms of
+# per-particle indexed reads at 50k particles (likelihood table take,
+# pick search over M weights, pose row-gather). In the corr fast path the
+# likelihood (and the folded recalcWeight factor) is constant over each
+# lattice cell, so with UNIFORM prior weights all particles in a cell are
+# exchangeable: sampling a cell by mass then a member uniformly within it
+# is DISTRIBUTION-IDENTICAL to per-particle multinomial picks
+# (P(cell) * P(member | cell) = (cnt_c * p_c / T) * (1 / cnt_c) = p_c / T
+# = w_i — each particle's exact multinomial probability), while every
+# per-particle read shrinks to a per-occupied-cell read (~0.3-3k cells in
+# tracking). The pick SEQUENCE for a given PRNG key differs from the
+# reference transcription, so equivalence is proven at distribution level
+# (tests/test_resample_cells.py: chi-square on per-particle pick counts,
+# posterior moments, KLD stop-count distribution) instead of pick level
+# (tests/test_resample_oracle.py, which pins the default path).
+# Reference contract matched: particle_filter.cpp:356-420,475-502.
+
+# Static capacity of the unique-cell compaction. Tracking clouds occupy
+# ~0.3-3k distinct lattice cells; clouds beyond the cap (deep global
+# localization) take the pick-level path via the ok flag.
+CELL_U_MAX = 8192
+
+
+def _pick_cells(cum, planes, r):
+    """Chunked cell pick + payload fetch: cum (U,) non-decreasing cell-mass
+    prefix sums, planes (P, U) per-cell payload, r (Q,) draws. Returns
+    (Q, P) payload rows of each draw's cell — index semantics identical to
+    `_pick_indices` (count of cum values <= r). One one-hot MXU pass fetches
+    cum chunk + payload chunk together; Precision.HIGHEST keeps the f32
+    payload exact (member start indices up to M must not truncate to
+    bf16)."""
+    u = cum.shape[0]
+    chunk = 128
+    assert u % chunk == 0
+    n_chunks = u // chunk
+    p = planes.shape[0]
+    cum2d = cum.reshape(n_chunks, chunk)
+    ends = cum2d[:, -1]
+    ci = jnp.sum(r[:, None] >= ends[None, :], axis=1).astype(jnp.int32)
+    ci = jnp.clip(ci, 0, n_chunks - 1)
+    onehot_c = (ci[:, None] == jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
+                ).astype(jnp.float32)
+    # pack cum + payload planes into one (n_chunks, (1+P)*chunk) operand
+    packed = jnp.concatenate(
+        [cum2d[:, None, :],
+         planes.reshape(p, n_chunks, chunk).transpose(1, 0, 2)], axis=1,
+    ).reshape(n_chunks, (1 + p) * chunk)
+    rows = jax.lax.dot_general(
+        onehot_c, packed, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(-1, 1 + p, chunk)
+    within = jnp.sum(r[:, None] >= rows[:, 0, :], axis=1).astype(jnp.int32)
+    within = jnp.clip(within, 0, chunk - 1)
+    onehot_w = within[:, None] == jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    payload = jnp.sum(
+        jnp.where(onehot_w[:, None, :], rows[:, 1:, :], 0.0), axis=2
+    )  # (Q, P)
+    return payload
+
+
+def sensor_resample_cells(
+    state: MCLState,
+    params: PFParams,
+    random_pose_pool: jnp.ndarray,
+    tbl: jnp.ndarray,
+    key_m: jnp.ndarray,
+    cells_ok: jnp.ndarray,
+    classic_fn,
+) -> MCLState:
+    """Fused sensor update + multinomial KLD resample under the cell-space
+    contract (see module comment above). tbl/key_m/cells_ok come from
+    sensors.planar.planar_likelihood_cells. classic_fn: () -> MCLState, the
+    pick-level fallback arm (full likelihood + sensor_update + resample);
+    taken when the cell structure is unavailable, the unique-cell count
+    exceeds CELL_U_MAX, or the active prior weights are not uniform (the
+    exchangeability precondition; uniform holds exactly when the filter
+    resamples on every sensor update, as the flagship configs do).
+
+    Covers updateSensor + updateResample (multinomial) in one pass:
+    particle_filter.cpp:223-267 + :356-471."""
+    m = params.max_samples
+    active = state.active_mask
+    nf = jnp.maximum(state.n_active.astype(jnp.float32), 1.0)
+
+    # sort particles by cell key (poses ride as sort operands — a sort
+    # carries payload ~5x cheaper than a post-hoc 50k row gather)
+    skey = jnp.where(active, key_m, kld.BIG)
+    ks, sx, sy, st = jax.lax.sort(
+        (skey, state.poses[:, 0], state.poses[:, 1], state.poses[:, 2]),
+        num_keys=1, is_stable=True,
+    )
+    act_s = ks < kld.BIG
+    segstart = act_s & jnp.concatenate(
+        [jnp.ones((1,), bool), ks[1:] != ks[:-1]]
+    )
+    u_count = jnp.sum(segstart).astype(jnp.int32)
+
+    # uniform-prior-weights precondition: post-resample weights are exactly
+    # 1/new_count, so bitwise equality over active entries is the check
+    wa_max = jnp.max(jnp.where(active, state.weights, 0.0))
+    wa_min = jnp.min(jnp.where(active, state.weights, jnp.inf))
+    ok = cells_ok & (u_count <= CELL_U_MAX) & (wa_max == wa_min) & (
+        state.n_active > 0
+    )
+
+    def cell_arm(_):
+        u = min(CELL_U_MAX, -(-m // 128) * 128)  # _pick_cells needs 128|u
+        pos = jnp.arange(m, dtype=jnp.int32)
+        pk = jnp.where(segstart, 0, 1).astype(jnp.int32)
+        _, ks_c, start_c = jax.lax.sort(
+            (pk, ks, pos), num_keys=1, is_stable=True
+        )
+        if u > m:
+            ks_c = jnp.pad(ks_c, (0, u - m), constant_values=kld.BIG)
+            start_c = jnp.pad(start_c, (0, u - m))
+        uk = ks_c[:u]
+        start_u = start_c[:u]
+        idx_u = jnp.arange(u, dtype=jnp.int32)
+        valid_u = idx_u < u_count
+        nxt = jnp.where(
+            idx_u == u_count - 1,
+            state.n_active,
+            jnp.concatenate([start_u[1:], jnp.zeros((1,), jnp.int32)]),
+        )
+        cnt_u = jnp.where(valid_u, nxt - start_u, 0)
+
+        # per-cell p * factor: ONE u-sized take replaces the M-sized one
+        p_u = jnp.take(tbl, jnp.clip(uk, 0, tbl.shape[0] - 1))
+        p_u = jnp.where(valid_u, p_u, 0.0)
+
+        # updateSensor scalars (prior weights uniform 1/n):
+        # t1 = sum_i w_i p_i = sum_c cnt_c p_c / n
+        cnt_f = cnt_u.astype(jnp.float32)
+        t1 = jnp.sum(cnt_f * p_u) / nf
+        ok_t = t1 > 0.0
+        w_avg = t1 / nf
+        new_wslow = jnp.where(
+            state.w_slow == 0.0, w_avg,
+            state.w_slow + state.alpha_slow * (w_avg - state.w_slow),
+        )
+        new_wfast = jnp.where(
+            state.w_fast == 0.0, w_avg,
+            state.w_fast + state.alpha_fast * (w_avg - state.w_fast),
+        )
+        w_slow2 = jnp.where(ok_t, new_wslow, state.w_slow)
+        w_fast2 = jnp.where(ok_t, new_wfast, state.w_fast)
+
+        # cell masses (zero-total -> uniform over active, matching the
+        # uniform reset of particle_filter.cpp:258-266)
+        mass_u = jnp.where(ok_t, cnt_f * p_u, cnt_f)
+        mass_n = mass_u / jnp.sum(mass_u)
+        cum_u = jnp.cumsum(mass_n)
+
+        # updateResample: w_diff from the POST-update averages (the classic
+        # path resamples the updated state)
+        w_diff = jnp.where(
+            w_slow2 > 0.0,
+            jnp.maximum(
+                0.0, 1.0 - w_fast2 / jnp.where(w_slow2 > 0, w_slow2, 1.0)
+            ),
+            0.0,
+        )
+        key, sub = jax.random.split(state.key)
+        k1, k2 = jax.random.split(sub)
+        use_random = jax.random.uniform(k1, (m,)) < w_diff
+        r = jax.random.uniform(k2, (m,))
+
+        # fused cell pick + member: conditional on landing in cell c, the
+        # residual (r - cumprev_c) / mass_c is U[0,1) — it picks the member
+        # uniformly with no second draw
+        cumprev = jnp.concatenate([jnp.zeros((1,), jnp.float32), cum_u[:-1]])
+        invm = jnp.where(mass_n > 0, cnt_f / jnp.where(mass_n > 0, mass_n, 1.0), 0.0)
+        planes = jnp.stack([
+            cumprev, start_u.astype(jnp.float32), cnt_f, invm
+        ])
+        pay = _pick_cells(cum_u, planes, r)
+        c_cumprev, c_start, c_cnt, c_invm = (
+            pay[:, 0], pay[:, 1], pay[:, 2], pay[:, 3]
+        )
+        off = jnp.floor((r - c_cumprev) * c_invm)
+        off = jnp.clip(off, 0.0, jnp.maximum(c_cnt - 1.0, 0.0))
+        member = (c_start + off).astype(jnp.int32)
+        member = jnp.clip(member, 0, m - 1)
+        sorted_poses = jnp.stack([sx, sy, st], axis=1)
+        picked = mxu_gather.gather_rows(sorted_poses, member)
+        new_poses = jnp.where(use_random[:, None], random_pose_pool, picked)
+
+        new_count, rank_p, cluster_count = _kld_stop_and_ranks(
+            new_poses, params
+        )
+        act2 = jnp.arange(m) < new_count
+        weights = jnp.where(act2, 1.0 / new_count.astype(jnp.float32), 0.0)
+        reset = w_diff > 0.0
+        new_state = state.replace(
+            poses=new_poses.astype(jnp.float32),
+            weights=weights.astype(jnp.float32),
+            n_active=new_count.astype(jnp.int32),
+            key=key,
+            w_slow=jnp.where(reset, 0.0, w_slow2),
+            w_fast=jnp.where(reset, 0.0, w_fast2),
+        )
+        stats = cluster.compute_cluster_stats(
+            new_state.poses, new_state.weights, new_state.active_mask,
+            params, precomputed_ranks=(rank_p, cluster_count),
+        )
+        return update_converged(new_state.replace(stats=stats), params)
+
+    return jax.lax.cond(ok, cell_arm, lambda _: classic_fn(), operand=None)
 
 
 # ---------------------------------------------------------------------------

@@ -225,9 +225,20 @@ def bake_corr_texture(omap: OccupancyMap2D, params: PlanarScanParams,
                                corr_psi_pad_q=pad_q, corr_psi_q=qscale)
 
 
+def _no_cells(m):
+    """Empty cell-contract triple (tbl, key, ok=False) for paths where the
+    cell-space resampling contract cannot run (envelope exceeded, off-map
+    particles, unsupported model/backend) — the caller's pick-level arm
+    handles those steps."""
+    from badger_amcl_tpu.ops import corr_kernel
+
+    return (jnp.zeros((corr_kernel.T_FLAT_CELLS,), jnp.float32),
+            jnp.zeros((m,), jnp.int32), jnp.array(False))
+
+
 def _corr_dispatch(omap, scan, spose, model, params, combine_fn,
                    fallback_fn, interpret, quantized=False,
-                   fold_poses=None):
+                   fold_poses=None, want_cells=False):
     """Shared stencil-correlation dispatch for the LF-family models:
     the psi texture maps distance to per-cell beam likelihood, combine_fn
     turns (sum_psi (M,), valid count) into p (M,); falls back to
@@ -246,7 +257,13 @@ def _corr_dispatch(omap, scan, spose, model, params, combine_fn,
     from badger_amcl_tpu.ops import corr_kernel
 
     valid = (scan.ranges < scan.range_max) & ~jnp.isnan(scan.ranges)
-    if not corr_kernel.map_fits(omap):
+    if want_cells:
+        # cell-space contract (corr_kernel.corr_cells): requires the fold
+        # machinery and the f32 kernel; callers guarantee both statically
+        assert fold_poses is not None and not quantized
+        if not corr_kernel.map_fits(omap):
+            return _no_cells(spose.shape[0])
+    elif not corr_kernel.map_fits(omap):
         return fallback_fn()
     fold = None
     if fold_poses is not None:
@@ -269,6 +286,33 @@ def _corr_dispatch(omap, scan, spose, model, params, combine_fn,
     dedup = int(scan.ranges.shape[0]) >= 360
     pre = corr_kernel.corr_prepass(omap, spose, scan.ranges, scan.angles,
                                    valid, dedup=dedup)
+
+    if want_cells:
+        want = psi_fingerprint(model, params, scan.range_max)
+        baked = (omap.corr_psi_pad is not None and want is not None
+                 and omap.corr_psi_key == want)
+        tex_pre = None
+        if baked:
+            tex_pad = omap.corr_psi_pad
+            tex_pre = omap.corr_psi_pre
+        else:
+            psi_fn = _corr_psi_fn(model, params, scan.range_max)
+            tex_pad = corr_kernel.build_tex_pad(
+                omap, psi_fn(omap.distances),
+                psi_fn(jnp.float32(omap.max_distance_to_object)),
+            )
+
+        def fast_cells(_):
+            return corr_kernel.corr_cells(
+                omap, tex_pad, spose, scan.ranges, scan.angles, valid, pre,
+                interpret=interpret, fold=fold, tex_pre=tex_pre,
+            )
+
+        def slow_cells(_):
+            return _no_cells(spose.shape[0])
+
+        return jax.lax.cond(pre["fits"], fast_cells, slow_cells,
+                            operand=None)
 
     def fast(_):
         want = psi_fingerprint(model, params, scan.range_max)
@@ -744,3 +788,47 @@ def planar_likelihood(
     if fold:
         return p, None
     return p, map_factors(omap, params, poses)
+
+
+# Models whose table-side combine is supported by the cell-space resampling
+# contract (the same set that supports factor folding, minus beamskip).
+CELL_MODELS = ("likelihood_field", "likelihood_field_gompertz",
+               "likelihood_field_prob")
+
+
+def planar_likelihood_cells(
+    omap: OccupancyMap2D,
+    params: PlanarScanParams,
+    scan: PlanarScan,
+    poses: jnp.ndarray,
+    model: str,
+    backend: str = "pallas_corr",
+):
+    """Cell-space variant of `planar_likelihood` for the cell resampling
+    contract (pf.filter.sensor_resample_cells): returns
+    (tbl (T_FLAT_CELLS,) f32, key (M,) int32, ok bool) — the folded
+    per-lattice-cell p * recalcWeight-factor table and each particle's flat
+    cell key, with NO per-particle take. ok=False (traced) whenever the
+    corr fast path cannot serve this step (cloud outside the lattice
+    envelope, any off-map particle); the caller then runs the classic
+    pick-level step instead. `model` must be in CELL_MODELS and `backend` a
+    corr backend — static misuse raises."""
+    if backend not in ("pallas_corr", "pallas_corr_interpret"):
+        raise ValueError(f"cell contract requires a corr backend, got {backend!r}")
+    if model not in CELL_MODELS:
+        raise ValueError(f"cell contract unsupported for model {model!r}")
+    interp = backend == "pallas_corr_interpret"
+    spose = coord_add(params.scanner_pose, poses)
+    if model == "likelihood_field":
+        combine = lambda s, cnt: 1.0 + s  # noqa: E731
+    elif model == "likelihood_field_gompertz":
+        def combine(s, cnt):
+            p = apply_gompertz(params, s / jnp.maximum(cnt, 1))
+            return jnp.where(cnt > 0, p, 1.0)
+    else:  # likelihood_field_prob (log-space sum table, no beamskip)
+        combine = lambda s, cnt: jnp.exp(s)  # noqa: E731
+    return _corr_dispatch(
+        omap, scan, spose, model, params, combine,
+        fallback_fn=None, interpret=interp, fold_poses=poses,
+        want_cells=True,
+    )
