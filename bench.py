@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--platform", default=None, help="override jax platform (e.g. cpu)")
     ap.add_argument("--backend", default=None, help="force compute backend (xla/pallas)")
+    ap.add_argument("--contract", default="cell",
+                    help="resampling contract: cell (default; distribution-"
+                         "identical cell-space multinomial, pf/filter.py) or "
+                         "pick (reference-exact per-particle picks)")
     args = ap.parse_args()
 
     import jax
@@ -67,15 +71,19 @@ def main():
         lo, hi = jnp.int32(iters), jnp.int32(4 * iters)
         s = chain_loop(state, lo)
         jax.block_until_ready(s)
-        t0 = time.perf_counter()
-        s = chain_loop(s, lo)
-        jax.block_until_ready(s)
-        w_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        s = chain_loop(s, hi)
-        jax.block_until_ready(s)
-        w_hi = time.perf_counter() - t0
-        return (w_hi - w_lo) / (3 * iters), s
+
+        def run(n):
+            nonlocal s
+            t0 = time.perf_counter()
+            s = chain_loop(s, n)
+            jax.block_until_ready(s)
+            return time.perf_counter() - t0
+
+        # interleave lo, hi, hi, lo: the pair averages cancel LINEAR drift
+        # of the dispatch penalty on top of the slope's fixed-cost cancel
+        # (advisor round-4; benchmarks/timing.py)
+        w_lo1, w_hi1, w_hi2, w_lo2 = run(lo), run(hi), run(hi), run(lo)
+        return ((w_hi1 + w_hi2) - (w_lo1 + w_lo2)) / 2.0 / (3 * iters), s
 
     results = {}
     for regime, cov in (
@@ -105,7 +113,8 @@ def main():
 
         def pinned_step(s):
             s2 = mcl.sensor_resample_step_jit(
-                s, omap, scan_params, scan, pool, params, backend=backend
+                s, omap, scan_params, scan, pool, params, backend=backend,
+                resample_contract=args.contract,
             )
             return s2.replace(
                 poses=poses0 + jnp.mean(s2.poses) * 1e-12,
@@ -130,6 +139,7 @@ def main():
         "extra": {
             "device": str(device),
             "backend": backend,
+            "resample_contract": args.contract,
             "particles": args.particles,
             "beams": args.beams,
             "map_cells": args.map_cells,
