@@ -188,6 +188,13 @@ class AMCLConfig:
     # "auto" -> Pallas TPU kernels on TPU backends, plain XLA elsewhere;
     # "xla" forces the exact float32 reference path everywhere.
     compute_backend: str = "auto"
+    # log-space-resident weight pipeline for likelihood_field_prob (new; no
+    # reference equivalent): keeps per-particle LOG weights through
+    # normalization and the w_slow/w_fast averages in log domain, so the
+    # prob model's beam product no longer underflows f32 past ~60 beams
+    # (pf/filter.py sensor_update_log). Off by default — the default exp
+    # path is reference-exact.
+    laser_likelihood_log_space: bool = False
     # angle bins for the fast beam-model range image (built only when the
     # beam model is configured and a pallas_corr backend is active; 0
     # disables the bake and keeps the exact Bresenham path)

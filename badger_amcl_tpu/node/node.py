@@ -76,9 +76,10 @@ def _motion_update_jit(state, model, alphas, pose, delta, absolute_motion):
     return odom_models.motion_update(state, model, alphas, pose, delta, absolute_motion)
 
 
-@functools.partial(jax.jit, static_argnames=("resample_model",))
-def _resample_jit(state, params, pool, resample_model):
-    return pf_filter.resample(state, params, pool, resample_model)
+@functools.partial(jax.jit, static_argnames=("resample_model", "log_averages"))
+def _resample_jit(state, params, pool, resample_model, log_averages=False):
+    return pf_filter.resample(state, params, pool, resample_model,
+                              log_averages=log_averages)
 
 
 @jax.jit
@@ -198,6 +199,7 @@ class Node:
             alpha_slow=self.config.recovery_alpha_slow,
             alpha_fast=self.config.recovery_alpha_fast,
         )
+        self._after_pf_init()
         self.odom_init = False
 
     def set_pf_decay_rate_normal(self) -> None:
@@ -217,6 +219,25 @@ class Node:
             jnp.asarray(half_xy, jnp.int32),
             jnp.float32(resolution),
         )
+
+    @property
+    def _log_space(self) -> bool:
+        """Log-space-resident weight pipeline active (config knob; only
+        meaningful for likelihood_field_prob — see pf.filter
+        sensor_update_log)."""
+        from badger_amcl_tpu.config import PlanarModelType
+
+        return bool(
+            getattr(self.config, "laser_likelihood_log_space", False)
+            and self.config.laser_model_type
+            == PlanarModelType.LIKELIHOOD_FIELD_PROB
+        )
+
+    def _after_pf_init(self) -> None:
+        """Post-init state fixups: the log-space contract stores w_slow/
+        w_fast in log domain, whose 'uninitialized' sentinel differs."""
+        if self._log_space and self.state is not None:
+            self.state = pf_filter.init_log_averages(self.state)
 
     # ------------------------------------------------ random pose generation
 
@@ -394,6 +415,7 @@ class Node:
                 self.params,
                 pool,
                 _RESAMPLE_MODEL_MAP[self.config.resample_model_type],
+                self._log_space,
             )
         if bool(self.state.converged) and self.global_localization_active:
             log.info("Global localization converged!")
@@ -568,6 +590,7 @@ class Node:
             alpha_slow=self.config.recovery_alpha_slow,
             alpha_fast=self.config.recovery_alpha_fast,
         )
+        self._after_pf_init()
         self.odom_init = False
         self.global_localization_active = False
         log.info("Initial pose received: (%.3f, %.3f)", mean[0], mean[1])
@@ -589,6 +612,7 @@ class Node:
             alpha_slow=self.config.global_localization_alpha_slow,
             alpha_fast=self.config.global_localization_alpha_fast,
         )
+        self._after_pf_init()
         self.odom_init = False
 
     def _apply_global_localization_factors(self) -> None:
@@ -643,6 +667,7 @@ class Node:
             alpha_slow=new_config.recovery_alpha_slow,
             alpha_fast=new_config.recovery_alpha_fast,
         )
+        self._after_pf_init()
         self.odom_init = False
         self._reconfigure_sensors()
 

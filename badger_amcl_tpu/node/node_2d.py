@@ -36,8 +36,18 @@ log = logging.getLogger("badger_amcl_tpu")
 SCAN_WATCHDOG_INTERVAL = 15.0  # node_2d.cpp:107-110
 
 
-@functools.partial(jax.jit, static_argnames=("model", "do_beamskip", "backend"))
-def _sensor_update_jit(state, omap, params, scan, model, do_beamskip, backend):
+@functools.partial(jax.jit, static_argnames=(
+    "model", "do_beamskip", "backend", "log_space"))
+def _sensor_update_jit(state, omap, params, scan, model, do_beamskip, backend,
+                       log_space=False):
+    if log_space:  # likelihood_field_prob log-space pipeline (config knob)
+        logp, mf = planar_likelihood(
+            omap, params, scan, state.poses, state.active_mask,
+            state.n_active, model, converged=state.converged,
+            do_beamskip=do_beamskip, backend=backend, fold_factors=False,
+            prob_log_space=True,
+        )
+        return pf_filter.sensor_update_log(state, logp, mf)
     p, mf = planar_likelihood(
         omap, params, scan, state.poses, state.active_mask, state.n_active,
         model, converged=state.converged, do_beamskip=do_beamskip,
@@ -292,6 +302,7 @@ class Node2D(Node):
                 cfg.laser_model_type.value,
                 cfg.do_beamskip,
                 self.backend,
+                log_space=self._log_space,
             )
         self.scanners_update[scanner_index] = False
         self.resample_count += 1

@@ -22,12 +22,14 @@ assigns a tier:
 
 - tier 0: a (ROWS0 x COLS0) = (96 x 128) window fits — the dense bulk of a
   localized spread cloud. ~7x fewer MACs per endpoint than round 2's arm.
-- tier 1: a (ROWS1 x COLS1) = (224 x 256) window fits — sparse/straggler
-  tiles, range-discontinuity groups (doorways), low-density yaw bins.
-- tier 2: a (ROWS2 x COLS2) = (384 x 384) GIANT window fits — sparse
-  full-yaw tiles whose endpoints cover the whole radius-r annulus; the
-  big matmul is still ~4x cheaper than per-element XLA gathers.
-- tier 3 (escape): nothing fits. Those pairs are evaluated EXACTLY (same
+- tier 1 (round 5): a (160 x 192) window fits — 81% of the pairs that
+  miss tier 0 (median need: 84 rows x 132 cols) at 0.54x tier 2's MACs.
+- tier 2: a (224 x 256) window fits — sparse/straggler tiles,
+  range-discontinuity groups (doorways), low-density yaw bins.
+- tier 3: a (384 x 384) GIANT window fits — sparse full-yaw tiles whose
+  endpoints cover the whole radius-r annulus; the big matmul is still ~4x
+  cheaper than per-element XLA gathers.
+- tier ESCAPE (4): nothing fits. Those pairs are evaluated EXACTLY (same
   int8 quantization) by a capacity-bounded XLA gather (CAP_PAIRS pairs,
   gated behind a lax.cond so the zero-escape common case pays nothing) and
   merged additively into the per-particle beam-term sums. Only when the
@@ -36,26 +38,18 @@ assigns a tier:
   stragglers triggered every time (measured 284 ms/step on evolved
   global-loc states vs ~10 ms here).
 
-All tiers run in ONE kernel (pl.when-gated per group), group_of(B) beams
-per (ROWS x COLS) @ (COLS, GRP*TILE_M) MXU contraction. Round 5
-restructured the kernel core (the round-4 profile measured ~14% of MXU
-peak with tiering exhausted — the cost was the per-pair one-hot builds,
-the int32 picked intermediate, the VPU row-mask reduce, and the (B, M)
-f32 output): the texture now holds TERM values (term_fn of the quantized
-distance, bf16), one-hots/masks/intermediates are bf16, index compares
-run in bf16 where exact (<= 256; the giant tier compares in i32), the
-row-mask reduce is an MXU ones-contraction, and beams accumulate
-in-kernel to a per-particle sum — no (B, M) matrix is ever materialized.
+Both tiers run in ONE kernel (pl.when-gated per group), group_of(B) beams
+per (ROWS x COLS) @ (COLS, GRP*TILE_M) int8 MXU contraction; the per-endpoint
+cell extraction is the one-hot MXU trick: column one-hot int8 matmul ->
+int32, then a row-mask reduce — the "gather" becomes dense int8 MXU work.
 
-Numerical contract: distances are quantized to max_distance/127 (the 2D
+Exactness contract: distances are quantized to max_distance/127 (the 2D
 twin of the 3D path's uint8 ratio contract, octomap.cpp:328-332) — ~16 mm
-at the default 2 m cap, an order below sigma_hit — and the per-beam TERM
-carries bf16 rounding (rel ~2^-8, an order below the distance
-quantization's effect at default sigma_hit); sums accumulate in f32; the
-escape path keeps f32 terms over the same quantized distances. Off-map
-endpoints read term(max_distance) (occupancy_map.cpp:90-98 out-of-bounds
-convention). Output is in SORTED particle order; callers un-permute the
-final (M,) sums with `unsort`.
+at the default 2 m cap, an order below sigma_hit; everything else is exact,
+including the escape path. Off-map endpoints read max_distance
+(occupancy_map.cpp:90-98 out-of-bounds convention). Output is in SORTED
+particle order; beam reductions are order-invariant, so callers reduce
+first and un-permute the final (M,) vector with `unsort`.
 """
 
 from __future__ import annotations
@@ -86,6 +80,16 @@ def group_of(b: int) -> int:
 ROWS0 = 96
 COLS0 = 128
 LOAD_C0 = COLS0 + 128
+# Middle tier (round 5): the tier-occupancy diagnosis showed the median
+# tier-1 pair needs only (84 rows, 132 cols) — 81% of them fit (160, 192),
+# at 0.54x tier-1's MACs (the tier-1 matmul alone was ~4.3 ms of pure int8
+# MXU time at the bench shape).
+ROWS_M = 160
+COLS_M = 192
+# the rolled int32 view's lane dim must be 128-aligned (Mosaic
+# DynamicRotateOp rejects unaligned shapes), so the load rounds 192+128 up
+# to 384; the matmul K-dim stays COLS_M
+LOAD_CM = 384
 ROWS1 = 224
 COLS1 = 256
 LOAD_C1 = COLS1 + 128
@@ -112,6 +116,9 @@ MAX_TEX_CELLS = 4 * 1024 * 1024  # int8 texture VMEM budget (bytes == cells)
 # a whole sparse sub-population (node.cpp:847-868 recovery regime).
 CAP_PAIRS = 256
 CAP_PAIRS_MAX = 2048
+# Tier ids: 0 = (96,128), 1 = (160,192), 2 = (224,256), 3 = giant,
+# ESCAPE = exact XLA arm.
+ESCAPE = 4
 # Density classes (primary sort key): per (yaw bin, block) particle counts
 # bucket particles into coarse density classes so sparse stragglers sort
 # into their OWN tiles instead of interleaving into dense ones (a single
@@ -157,18 +164,17 @@ def quantized_tex(omap) -> jnp.ndarray:
 def _kernel(
     flags_ref,  # (8, G) int32 SMEM block — tier per (tile, group)
     org0_ref,  # (8, G) int32 SMEM packed (row0 << 16) | col0, tier 0
-    org1_ref,  # (8, G) int32 SMEM, tier 1
-    org2_ref,  # (8, G) int32 SMEM, tier 2 (giant)
-    offv_ref,  # (1,) f32 SMEM — off-map endpoint term value
-    tex_ref,  # (H, W) bf16 TERM texture (VMEM) — term_fn(quantized dist)
+    orgm_ref,  # (8, G) int32 SMEM, middle tier
+    org1_ref,  # (8, G) int32 SMEM, tier (224, 256)
+    org2_ref,  # (8, G) int32 SMEM, giant tier
+    tex_ref,  # (H, W) int8 full texture (VMEM)
     rca_ref,  # (G, 1, GRP*TILE_M) f32 — r*cos(a)/res, each repeated TILE_M
     rsa_ref,  # (G, 1, GRP*TILE_M) f32 — r*sin(a)/res likewise
-    vm_ref,  # (G, 1, GRP*TILE_M) f32 — valid-beam mask, repeated TILE_M
     pxc_ref,  # (1, TILE_M) f32 sorted particle x in CELL coords (+0.5+half)
     pyc_ref,
     ct_ref,  # (1, TILE_M) f32 cos(theta_p)
     st_ref,  # (1, TILE_M) f32 sin(theta_p)
-    out_ref,  # (8, TILE_M) f32 — per-particle term sums (all 8 rows equal)
+    out_ref,  # (B_pad, TILE_M) f32 quantized distance (meters)
     *,
     n_groups: int,
     geom: tuple,
@@ -180,40 +186,23 @@ def _kernel(
     # r*cos(a)/res, r*sin(a)/res — 36M in-kernel cos+sin calls were the
     # single largest cost of the round-3 kernel (benchmarks isolation:
     # base-without-matmul 15.2 of 18.8 ms).
-    #
-    # Round-5 restructure (the "kernel core" task): the texture holds TERM
-    # values (bf16), not distance levels, so
-    # 1. one-hot operands, the picked intermediate, and the row mask are
-    #    all bf16 — half the vreg traffic of the int32 formulation (the
-    #    round-4 profile put the kernel at ~14% of MXU peak, VPU-issue
-    #    bound on exactly these);
-    # 2. index compares run in bf16 (integers <= 256 are bf16-exact; the
-    #    giant tier's 384-cell indices are not, so it compares in i32);
-    # 3. the row-mask reduce is an MXU ones-vector contraction instead of
-    #    a VPU select + sublane tree reduce;
-    # 4. beams accumulate IN-KERNEL into a (1, TILE_M) sum — the (B, M)
-    #    f32 distance matrix (147 MB at 50k x 720) is never written, and
-    #    the downstream term_fn + reduce pass disappears.
+    max_dist = geom[-1]
     size_x, size_y = geom[5], geom[6]
     wide = grp * TILE_M
+    scale = max_dist / QLEVELS
     tile8 = pl.program_id(0) % 8
-    offv = offv_ref[0]
     pxc8 = jnp.concatenate([pxc_ref[:]] * grp, axis=1)  # (1, wide)
     pyc8 = jnp.concatenate([pyc_ref[:]] * grp, axis=1)
     ct8 = jnp.concatenate([ct_ref[:]] * grp, axis=1)
     st8 = jnp.concatenate([st_ref[:]] * grp, axis=1)
-    bf = jnp.bfloat16
-
-    out_ref[...] = jnp.zeros((8, TILE_M), jnp.float32)
-
-    def iotas(cols, rows, dt):
-        ci_ = jax.lax.broadcasted_iota(jnp.int32, (cols, wide), 0)
-        ri_ = jax.lax.broadcasted_iota(jnp.int32, (rows, wide), 0)
-        return ci_.astype(dt), ri_.astype(dt)
-
-    col_iota0, row_iota0 = iotas(COLS0, ROWS0, bf)
-    col_iota1, row_iota1 = iotas(COLS1, ROWS1, bf)
-    col_iota2, row_iota2 = iotas(COLS2, ROWS2, jnp.int32)
+    col_iota0 = jax.lax.broadcasted_iota(jnp.int32, (COLS0, wide), 0)
+    row_iota0 = jax.lax.broadcasted_iota(jnp.int32, (ROWS0, wide), 0)
+    col_iotam = jax.lax.broadcasted_iota(jnp.int32, (COLS_M, wide), 0)
+    row_iotam = jax.lax.broadcasted_iota(jnp.int32, (ROWS_M, wide), 0)
+    col_iota1 = jax.lax.broadcasted_iota(jnp.int32, (COLS1, wide), 0)
+    row_iota1 = jax.lax.broadcasted_iota(jnp.int32, (ROWS1, wide), 0)
+    col_iota2 = jax.lax.broadcasted_iota(jnp.int32, (COLS2, wide), 0)
+    row_iota2 = jax.lax.broadcasted_iota(jnp.int32, (ROWS2, wide), 0)
 
     def body(g, _):
         rca = rca_ref[g]  # (1, wide)
@@ -223,17 +212,13 @@ def _kernel(
         inmap = (ci >= 0) & (ci < size_x) & (cj >= 0) & (cj < size_y)
         fl = flags_ref[tile8, g]
 
-        def emit(res):
-            # res (1, wide) f32 per-(beam, particle) term values
-            res = jnp.where(inmap, res, offv)
-            res = res * vm_ref[g]  # invalid beams contribute 0
-            # row-major (1, wide) relayouts to (grp, 128) exactly (beam k's
-            # lane block becomes row k); reduce the group's beams, then
-            # accumulate — broadcast keeps the store a full (8, 128) tile
-            part = jnp.sum(res.reshape(grp, TILE_M), axis=0, keepdims=True)
-            out_ref[...] += jnp.broadcast_to(part, (8, TILE_M))
+        def emit(z):
+            z = jnp.where(inmap, z, max_dist)
+            # one (grp, TILE_M) store: row-major (1, wide) relayouts to
+            # (grp, 128) exactly (beam k's lane block becomes row k)
+            out_ref[pl.ds(g * grp, grp), :] = z.reshape(grp, TILE_M)
 
-        def pick(packed, rows, cols, load_c, col_iota, row_iota, cmp_dt):
+        def pick(packed, rows, cols, load_c, col_iota, row_iota):
             r0 = jax.lax.shift_right_arithmetic(packed, 16)
             c0 = packed & 0xFFFF
             # aligned load + int32-bitcast lane roll = dynamic col origin.
@@ -244,28 +229,30 @@ def _kernel(
             dc = c0 - c_base
             win = tex_ref[pl.ds(pl.multiple_of(r0, 32), rows),
                           pl.ds(pl.multiple_of(c_base, 128), load_c)]
-            # bf16 packs 2 sublane rows per int32; the bitcast view
-            # PRESERVES columns (same verified property as the int8 pack),
-            # and DynamicRotateOp is 32-bit-only, so the int32 view makes
-            # the lane roll legal. pltpu.roll needs a NON-NEGATIVE traced
-            # amount: left-roll by dc is its right-roll complement.
-            w32 = pltpu.bitcast(win, jnp.int32)  # (rows//2, load_c)
+            w32 = pltpu.bitcast(win, jnp.int32)  # (rows//4, load_c)
+            # pltpu.roll needs a NON-NEGATIVE traced amount: left-roll by dc
+            # is its right-roll complement (CLAUDE.md roll contract)
             w32 = pltpu.roll(w32, (load_c - dc) % load_c, axis=1)
-            window = pltpu.bitcast(w32, bf)[:, :cols]
+            window = pltpu.bitcast(w32, jnp.int8)[:, :cols]
             lr = jnp.clip(cj - r0, 0, rows - 1)
             lc = jnp.clip(ci - c0, 0, cols - 1)
-            colhot = (col_iota == lc.astype(cmp_dt)).astype(bf)
+            colhot = (col_iota == lc).astype(jnp.int8)  # (cols, wide)
             picked = jax.lax.dot_general(
                 window, colhot, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=bf,
-            )  # (rows, wide) bf16 — exactly one term value per column
-            rowm = (row_iota == lr.astype(cmp_dt)).astype(bf)
-            ones = jnp.ones((1, rows), bf)
-            return jax.lax.dot_general(
-                ones, picked * rowm,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (1, wide) f32 — one nonzero per column, so the sum is exact
+                preferred_element_type=jnp.int32,
+            )  # (rows, wide) — quantized LEVELS, <= 127
+            # row-mask reduce on the MXU: levels fit int8 exactly, so pack
+            # the picked intermediate, mask it, and contract with a ones
+            # vector (int8 MXU) instead of the VPU select + sublane tree
+            # reduce over the full i32 (rows, wide) block
+            p8 = picked.astype(jnp.int8)
+            masked = jnp.where(row_iota == lr, p8, 0)
+            ones = jnp.ones((1, rows), jnp.int8)
+            lvl = jax.lax.dot_general(
+                ones, masked, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (1, wide) — exactly one nonzero per column
+            return lvl.astype(jnp.float32) * scale
 
         # branches for tiers whose window exceeds the texture must not
         # even TRACE (the slice would be malformed); the prepass zeroes
@@ -274,24 +261,28 @@ def _kernel(
             @pl.when(fl == 0)
             def _():
                 emit(pick(org0_ref[tile8, g], ROWS0, COLS0, LOAD_C0,
-                          col_iota0, row_iota0, bf))
+                          col_iota0, row_iota0))
 
         if 1 in tiers:
             @pl.when(fl == 1)
             def _():
-                emit(pick(org1_ref[tile8, g], ROWS1, COLS1, LOAD_C1,
-                          col_iota1, row_iota1, bf))
+                emit(pick(orgm_ref[tile8, g], ROWS_M, COLS_M, LOAD_CM,
+                          col_iotam, row_iotam))
 
         if 2 in tiers:
             @pl.when(fl == 2)
             def _():
-                # 384-cell indices exceed bf16's exact-integer range (256):
-                # the giant tier compares in i32 and converts the masks
-                emit(pick(org2_ref[tile8, g], ROWS2, COLS2, LOAD_C2,
-                          col_iota2, row_iota2, jnp.int32))
+                emit(pick(org1_ref[tile8, g], ROWS1, COLS1, LOAD_C1,
+                          col_iota1, row_iota1))
 
-        # fl == 3: escape pair — contributes nothing here; the escape arm's
-        # exact sums are added by spread_term_sums.
+        if 3 in tiers:
+            @pl.when(fl == 3)
+            def _():
+                emit(pick(org2_ref[tile8, g], ROWS2, COLS2, LOAD_C2,
+                          col_iota2, row_iota2))
+
+        # fl == ESCAPE: out rows stay garbage; callers mask with the
+        # `covered` flags and add the escape arm's exact sums instead.
         return 0
 
     jax.lax.fori_loop(0, n_groups, body, 0, unroll=False)
@@ -468,6 +459,9 @@ def spread_prepass(omap, spose, ranges, angles, valid):
     fit0, org0 = tier_fit(ROWS0, COLS0, LOAD_C0)
     if not (omap.size_y >= ROWS0 and omap.size_x >= LOAD_C0):
         fit0 = jnp.zeros_like(fit0)
+    fitm, orgm = tier_fit(ROWS_M, COLS_M, LOAD_CM)
+    if not (omap.size_y >= ROWS_M and omap.size_x >= LOAD_CM):
+        fitm = jnp.zeros_like(fitm)
     fit1, org1 = tier_fit(ROWS1, COLS1, LOAD_C1)
     if not (omap.size_y >= ROWS1 and omap.size_x >= LOAD_C1):
         fit1 = jnp.zeros_like(fit1)
@@ -475,9 +469,10 @@ def spread_prepass(omap, spose, ranges, angles, valid):
     if not (omap.size_y >= ROWS2 and omap.size_x >= LOAD_C2):
         fit2 = jnp.zeros_like(fit2)
     flags = jnp.where(
-        fit0, 0, jnp.where(fit1, 1, jnp.where(fit2, 2, 3))
+        fit0, 0,
+        jnp.where(fitm, 1, jnp.where(fit1, 2, jnp.where(fit2, 3, ESCAPE))),
     ).astype(jnp.int32)
-    n_escape = jnp.sum(flags == 3).astype(jnp.int32)
+    n_escape = jnp.sum(flags == ESCAPE).astype(jnp.int32)
 
     # kernel SMEM blocks are (8, G) per 8-tile slab: transpose to (tiles, G)
     pad8 = (-n_tiles) % 8
@@ -490,6 +485,7 @@ def spread_prepass(omap, spose, ranges, angles, valid):
         "spose_s": spose_s,
         "flags": to_tiles(flags),  # (n_tiles_pad8, G) int32 tier
         "org0": to_tiles(org0),
+        "orgm": to_tiles(orgm),
         "org1": to_tiles(org1),
         "org2": to_tiles(org2),
         "n_escape": n_escape,
@@ -501,12 +497,8 @@ def spread_prepass(omap, spose, ranges, angles, valid):
 
 
 @functools.partial(jax.jit, static_argnames=("geom", "interpret"))
-def _tiered_call(geom, tex_term, offv, spose_s, ranges, angles, valid,
-                 flags, org0, org1, org2, interpret=False):
-    """Kernel-covered per-particle TERM SUMS in sorted order (m_pad,):
-    tex_term is the bf16 term-valued texture, offv the (1,) f32 off-map
-    term. Escape pairs contribute 0 (their exact sums are merged by
-    spread_term_sums)."""
+def _tiered_call(geom, tex8, spose_s, ranges, angles, flags, org0, orgm,
+                 org1, org2, interpret=False):
     m_pad = spose_s.shape[0]
     b = ranges.shape[0]
     grp = group_of(b)
@@ -520,13 +512,10 @@ def _tiered_call(geom, tex_term, offv, spose_s, ranges, angles, valid,
     st = jnp.sin(spose_s[:, 2]).reshape(1, m_pad)
     rpad = jnp.pad(ranges.astype(jnp.float32), (0, b_pad - b))
     apad = jnp.pad(angles.astype(jnp.float32), (0, b_pad - b))
-    vpad = jnp.pad(valid, (0, b_pad - b))
     inv_res = jnp.float32(1.0 / res)
     rca = jnp.repeat(rpad * jnp.cos(apad) * inv_res, TILE_M).reshape(
         n_groups, 1, grp * TILE_M)
     rsa = jnp.repeat(rpad * jnp.sin(apad) * inv_res, TILE_M).reshape(
-        n_groups, 1, grp * TILE_M)
-    vm = jnp.repeat(vpad.astype(jnp.float32), TILE_M).reshape(
         n_groups, 1, grp * TILE_M)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -540,38 +529,60 @@ def _tiered_call(geom, tex_term, offv, spose_s, ranges, angles, valid,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, n_groups), lambda t: (t // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(tex_term.shape, lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, n_groups), lambda t: (t // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(tex8.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(rca.shape, lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(rsa.shape, lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(vm.shape, lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_M), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_M), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_M), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_M), lambda t: (0, t), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, TILE_M), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((b_pad, TILE_M), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
     )
     size_x, size_y = geom[5], geom[6]
     tiers = tuple(
         t for t, (rr, lc) in enumerate(
-            ((ROWS0, LOAD_C0), (ROWS1, LOAD_C1), (ROWS2, LOAD_C2)))
+            ((ROWS0, LOAD_C0), (ROWS_M, LOAD_CM), (ROWS1, LOAD_C1),
+             (ROWS2, LOAD_C2)))
         if size_y >= rr and size_x >= lc
     )
     kern = functools.partial(
         _kernel, n_groups=n_groups, geom=geom, grp=grp, tiers=tiers)
     out = pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((8 * n_tiles, TILE_M), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024),
+        out_shape=jax.ShapeDtypeStruct((b_pad, m_pad), jnp.float32),
         interpret=interpret,
-    )(flags, org0, org1, org2, offv, tex_term, rca, rsa, vm, pxc, pyc, ct,
-      st)
-    # all 8 rows of a tile's block are equal; take row 0
-    return out.reshape(n_tiles, 8, TILE_M)[:, 0, :].reshape(m_pad)
+    )(flags, org0, orgm, org1, org2, tex8, rca, rsa, pxc, pyc, ct, st)
+    return out[:b]
+
+
+def spread_distances_sorted(omap, spose, ranges, angles, valid, pre,
+                            interpret=False):
+    """Kernel-covered (B, m_pad) distances in SORTED particle order, plus a
+    (B, m_pad) `covered` mask (False on escape pairs — those columns hold
+    garbage and must be taken from the escape arm; see spread_term_sums).
+
+    Callers reduce over beams first (order-invariant) and un-permute the
+    final per-particle vector with `unsort(values_sorted, pre)`."""
+    geom = _geom(omap)
+    tex8 = quantized_tex(omap)
+    zt = _tiered_call(
+        geom, tex8, pre["spose_s"], ranges, angles,
+        pre["flags"], pre["org0"], pre["orgm"], pre["org1"], pre["org2"],
+        interpret=interpret,
+    )
+    n_tiles = pre["n_tiles"]
+    b = ranges.shape[0]
+    # (B, m_pad) coverage: tier < 2, expanded groups -> beams, tiles -> lanes
+    cov_pairs = pre["flags"][:n_tiles] < ESCAPE  # (n_tiles, G)
+    cov = jnp.repeat(
+        jnp.repeat(jnp.transpose(cov_pairs), group_of(b), axis=0)[:b],
+        TILE_M, axis=1,
+    )
+    return zt, cov
 
 
 def _escape_term_sums(omap, pre, ranges, angles, valid, term_fn, cap):
@@ -592,7 +603,7 @@ def _escape_term_sums(omap, pre, ranges, angles, valid, term_fn, cap):
 
     pid = jnp.arange(n_tiles * g, dtype=jnp.int32)
     esc_sorted = jax.lax.sort(
-        jnp.where(flags.reshape(-1) == 3, pid, big), is_stable=False
+        jnp.where(flags.reshape(-1) == ESCAPE, pid, big), is_stable=False
     )
     ids = esc_sorted[:cap]
     pvalid = ids < n_tiles * g
@@ -630,27 +641,12 @@ def spread_term_sums(omap, spose, ranges, angles, valid, pre, term_fn,
                      interpret=False):
     """Per-particle sums of term_fn(distance) over valid beams, in SORTED
     order (m_pad,): kernel tiers for covered pairs + the gated escape arm.
-    term_fn must be elementwise (every LF-family beam term is).
-
-    The kernel reads a TERM-VALUED bf16 texture (term_fn applied once to
-    the whole quantized distance map — one elementwise pass, ~us at 1M
-    cells) and accumulates beams in-kernel, so no (B, M) intermediate
-    exists at any point. Numerical contract: distance quantized to
-    max_distance/127 as before, PLUS bf16 rounding of the per-beam term
-    (rel ~2^-8 — an order below the distance quantization's effect on the
-    term at default sigma_hit); per-particle sums accumulate in f32. The
-    escape arm keeps f32 terms (same quantized distances)."""
-    geom = _geom(omap)
-    maxd = jnp.float32(geom[-1])
-    scale = maxd / QLEVELS
-    tq = quantized_tex(omap)
-    tex_term = term_fn(tq.astype(jnp.float32) * scale).astype(jnp.bfloat16)
-    offv = jnp.reshape(term_fn(maxd).astype(jnp.float32), (1,))
-    sums = _tiered_call(
-        geom, tex_term, offv, pre["spose_s"], ranges, angles, valid,
-        pre["flags"], pre["org0"], pre["org1"], pre["org2"],
-        interpret=interpret,
+    term_fn must be elementwise (every LF-family beam term is)."""
+    zt, cov = spread_distances_sorted(
+        omap, spose, ranges, angles, valid, pre, interpret=interpret
     )
+    terms = jnp.where(cov & valid[:, None], term_fn(zt), 0.0)
+    sums = jnp.sum(terms, axis=0)  # (m_pad,)
     n_esc = pre["n_escape"]
     esc = jax.lax.cond(
         n_esc > 0,

@@ -156,6 +156,88 @@ def sensor_update(
 
 
 # ---------------------------------------------------------------------------
+# Log-space-resident sensor update (likelihood_field_prob at TPU beam counts)
+#
+# The prob model's per-particle weight is a PRODUCT of up to B beam
+# probabilities (planar_scanner.cpp:325-533). In f32 that underflows past
+# ~60 beams (every p flushes to 0, total weight 0, and the filter uniform-
+# resets forever) — faithful to how the f64 reference degrades at ~600+
+# beams, but useless at TPU-native beam counts. The log-space pipeline keeps
+# per-particle LOG weights through normalization (log-sum-exp), stores the
+# w_slow/w_fast recovery averages in LOG domain (their EMA recursion is a
+# positive combination, so it is a logaddexp), and hands resampling
+# NORMALIZED linear weights (exp(logw - lse) cannot overflow; weights below
+# f32's tiny threshold are genuinely negligible). Reference behavior at
+# reference beam counts stays the default exp path, bit-for-bit.
+
+# w_slow/w_fast "uninitialized" sentinel in log domain (reference uses 0.0
+# in linear domain, particle_filter.cpp:246-255; log w_avg is always finite
+# or -inf, and +inf is unreachable, so it is a safe sentinel).
+LOG_UNINIT = jnp.float32(jnp.inf)
+
+
+def _logaddexp(a, b):
+    m = jnp.maximum(a, b)
+    d = -jnp.abs(a - b)
+    out = m + jnp.log1p(jnp.exp(d))
+    return jnp.where(jnp.isinf(m), m, out)
+
+
+def sensor_update_log(
+    state: MCLState,
+    log_p: jnp.ndarray,
+    map_factor: Optional[jnp.ndarray] = None,
+) -> MCLState:
+    """`sensor_update` with per-particle LOG likelihoods (the prob model's
+    natural output). state.w_slow/w_fast hold LOG-domain averages under
+    this contract (initialize with init_log_averages / LOG_UNINIT); pair
+    with resample(log_averages=True)."""
+    active = state.active_mask
+    neg_inf = jnp.float32(-jnp.inf)
+    logw_prev = jnp.where(
+        active & (state.weights > 0), jnp.log(state.weights), neg_inf
+    )
+    lw = logw_prev + log_p
+    if map_factor is not None:
+        lw = lw + jnp.log(map_factor)
+    lse = jax.scipy.special.logsumexp(jnp.where(active, lw, neg_inf))
+
+    n = state.n_active.astype(jnp.float32)
+    log_wavg = lse - jnp.log(jnp.maximum(n, 1.0))
+    la_s = jnp.log(state.alpha_slow)
+    la_f = jnp.log(state.alpha_fast)
+    l1m_s = jnp.log1p(-state.alpha_slow)
+    l1m_f = jnp.log1p(-state.alpha_fast)
+    new_wslow = jnp.where(
+        state.w_slow == LOG_UNINIT,
+        log_wavg,
+        _logaddexp(l1m_s + state.w_slow, la_s + log_wavg),
+    )
+    new_wfast = jnp.where(
+        state.w_fast == LOG_UNINIT,
+        log_wavg,
+        _logaddexp(l1m_f + state.w_fast, la_f + log_wavg),
+    )
+
+    ok = jnp.isfinite(lse)  # all-(-inf) == the reference's zero-total reset
+    uniform = jnp.where(active, 1.0 / jnp.maximum(n, 1.0), 0.0)
+    new_weights = jnp.where(
+        ok, jnp.where(active, jnp.exp(lw - lse), 0.0), uniform
+    )
+    return state.replace(
+        weights=new_weights.astype(jnp.float32),
+        w_slow=jnp.where(ok, new_wslow, state.w_slow),
+        w_fast=jnp.where(ok, new_wfast, state.w_fast),
+    )
+
+
+def init_log_averages(state: MCLState) -> MCLState:
+    """Reset w_slow/w_fast to the log-domain uninitialized sentinel (the
+    log twin of initializing them to 0.0)."""
+    return state.replace(w_slow=LOG_UNINIT, w_fast=LOG_UNINIT)
+
+
+# ---------------------------------------------------------------------------
 # Convergence
 
 
@@ -397,21 +479,39 @@ def resample(
     params: PFParams,
     random_pose_pool: jnp.ndarray,
     model: ResampleModel = ResampleModel.MULTINOMIAL,
+    log_averages: bool = False,
 ) -> MCLState:
     """updateResample (particle_filter.cpp:423-471).
 
     random_pose_pool: (M, 3) pre-drawn candidate random poses (the batched
     random_pose_fn; see node.random_pose_pool). Consumed only as far as the
-    injection count requires."""
+    injection count requires.
+
+    log_averages (static): w_slow/w_fast hold LOG-domain averages (the
+    sensor_update_log contract) — w_diff becomes 1 - exp(w_fast - w_slow)
+    and the recovery reset restores the log-domain sentinel."""
     key, sub = jax.random.split(state.key)
-    # w_diff = max(0, 1 - w_fast/w_slow); guard w_slow == 0 (the reference
-    # would produce NaN there, which its comparisons treat as 0 — we make the
-    # equivalence explicit).
-    w_diff = jnp.where(
-        state.w_slow > 0.0,
-        jnp.maximum(0.0, 1.0 - state.w_fast / jnp.where(state.w_slow > 0, state.w_slow, 1.0)),
-        0.0,
-    )
+    if log_averages:
+        ok_ws = jnp.isfinite(state.w_slow) & (state.w_slow != LOG_UNINIT)
+        w_diff = jnp.where(
+            ok_ws,
+            jnp.maximum(
+                0.0,
+                1.0 - jnp.exp(
+                    state.w_fast - jnp.where(ok_ws, state.w_slow, 0.0)
+                ),
+            ),
+            0.0,
+        )
+    else:
+        # w_diff = max(0, 1 - w_fast/w_slow); guard w_slow == 0 (the
+        # reference would produce NaN there, which its comparisons treat as
+        # 0 — we make the equivalence explicit).
+        w_diff = jnp.where(
+            state.w_slow > 0.0,
+            jnp.maximum(0.0, 1.0 - state.w_fast / jnp.where(state.w_slow > 0, state.w_slow, 1.0)),
+            0.0,
+        )
 
     ranks = None
     if model == ResampleModel.SYSTEMATIC:
@@ -437,13 +537,14 @@ def resample(
 
     # Reset averages to avoid spiraling into randomness (particle_filter.cpp:453-455)
     reset = w_diff > 0.0
+    uninit = LOG_UNINIT if log_averages else jnp.float32(0.0)
     new_state = state.replace(
         poses=new_poses.astype(jnp.float32),
         weights=weights.astype(jnp.float32),
         n_active=new_count.astype(jnp.int32),
         key=key,
-        w_slow=jnp.where(reset, 0.0, state.w_slow),
-        w_fast=jnp.where(reset, 0.0, state.w_fast),
+        w_slow=jnp.where(reset, uninit, state.w_slow),
+        w_fast=jnp.where(reset, uninit, state.w_fast),
     )
     stats = cluster.compute_cluster_stats(
         new_state.poses, new_state.weights, new_state.active_mask, params,

@@ -492,9 +492,15 @@ def _lf_gompertz_model(omap, params, scan, spose, backend="xla",
 
 
 def _lf_prob_model(omap, params, scan, spose, active, n_active, converged, do_beamskip,
-                   backend="xla", fold_poses=None):
+                   backend="xla", fold_poses=None, return_log=False):
     """calcLikelihoodFieldModelProb (planar_scanner.cpp:325-533), log-space
     product over valid beams, optional beam skipping.
+
+    return_log (static): return LOG p instead of p — the log-space-resident
+    pipeline (pf.filter.sensor_update_log) that keeps the prob model usable
+    at TPU beam counts, where exp(sum of ~720 log pz) underflows f32 for
+    every particle and the filter would uniform-reset forever. The default
+    exp path stays reference-exact.
 
     Beam skipping (static `do_beamskip`; additionally gated on filter
     convergence, :361-364): beams for which fewer than beam_skip_threshold of
@@ -514,13 +520,19 @@ def _lf_prob_model(omap, params, scan, spose, active, n_active, converged, do_be
         interp = backend == "pallas_corr_interpret"
         fb = "pallas_interpret" if interp else "pallas"
         mulf = _fold_mf(omap, params, fold_poses)
+        # log variant: the corr table / spread sums already hold sum of
+        # log pz — just skip the exp (identity combine/finalize)
+        out_map = (lambda s, cnt: s) if return_log else (
+            lambda s, cnt: jnp.exp(s))
+        fin = (lambda s: s) if return_log else jnp.exp
         return _corr_dispatch(
             omap, scan, spose, "likelihood_field_prob", params,
-            lambda s, cnt: jnp.exp(s),
+            out_map,
             lambda: mulf(_spread_dispatch(
-                omap, scan, spose, term, jnp.exp,
+                omap, scan, spose, term, fin,
                 lambda: _lf_prob_model(omap, params, scan, spose, active,
-                                       n_active, converged, do_beamskip, fb),
+                                       n_active, converged, do_beamskip, fb,
+                                       return_log=return_log),
                 interpret=interp,
             )),
             interpret=interp, fold_poses=fold_poses,
@@ -533,7 +545,7 @@ def _lf_prob_model(omap, params, scan, spose, active, n_active, converged, do_be
     logpz = jnp.log(pz)
     if not do_beamskip:
         log_p = jnp.sum(jnp.where(valid[:, None], logpz, 0.0), axis=0)
-        return jnp.exp(log_p)
+        return log_p if return_log else jnp.exp(log_p)
 
     b = scan.ranges.shape[0]
     # in-map test for the obs_count increment (:441-453): only beams whose
@@ -555,7 +567,7 @@ def _lf_prob_model(omap, params, scan, spose, active, n_active, converged, do_be
     use_beam = error | obs_mask[:, None]
     log_p = jnp.sum(jnp.where(use_beam, jnp.log(pz_temp), 0.0), axis=0)
     log_p_all = jnp.where(converged, log_p, jnp.sum(jnp.where(valid[:, None], logpz, 0.0), axis=0))
-    return jnp.exp(log_p_all)
+    return log_p_all if return_log else jnp.exp(log_p_all)
 
 
 def _beam_model(omap, params, scan, spose, backend="xla"):
@@ -738,6 +750,7 @@ def planar_likelihood(
     do_beamskip: bool = False,
     backend: str = "xla",
     fold_factors: bool = False,
+    prob_log_space: bool = False,
 ):
     """applyModelToSampleSet (planar_scanner.cpp:141-164): returns
     (p_model (N,), map_factor (N,)) to feed pf.sensor_update. `model`,
@@ -745,6 +758,10 @@ def planar_likelihood(
     "pallas_corr" | "pallas_corr_q" | *_interpret) are static. The *_q
     backends opt in to the int8-quantized corr texture (slightly slower at
     the flagship shape, 8x less VMEM per call — see _corr_dispatch).
+    prob_log_space (static, likelihood_field_prob only): return LOG p for
+    the log-space-resident weight pipeline (pf.filter.sensor_update_log) —
+    the variant that holds 720 beams without f32 underflow; factors are
+    then never folded (log p adds, it does not multiply).
     With fold_factors=True (static) and a corr backend, the map factor is
     folded into p and the returned map_factor is None — single-robot
     callers feeding sensor_update should fold (saves the separate windowed
@@ -765,7 +782,8 @@ def planar_likelihood(
         and backend in ("pallas_corr", "pallas_corr_interpret")
         and (
             model in ("likelihood_field", "likelihood_field_gompertz")
-            or (model == "likelihood_field_prob" and not do_beamskip)
+            or (model == "likelihood_field_prob" and not do_beamskip
+                and not prob_log_space)  # log p folds additively, not by *
         )
     )
     fold_poses = poses if fold else None
@@ -778,7 +796,7 @@ def planar_likelihood(
     elif model == "likelihood_field_prob":
         p = _lf_prob_model(
             omap, params, scan, spose, active, n_active, converged, do_beamskip,
-            backend, fold_poses=fold_poses,
+            backend, fold_poses=fold_poses, return_log=prob_log_space,
         )
     elif model == "likelihood_field_gompertz":
         p = _lf_gompertz_model(omap, params, scan, spose, backend, quantized,

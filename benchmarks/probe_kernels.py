@@ -313,21 +313,19 @@ def probe_spread(omap):
     assert bool(pre["fits"]), "spread probe cloud must fit"
     flags = np.asarray(pre["flags"][: pre["n_tiles"]])
     assert (flags == 0).sum() > 0, "no tier-0 pairs exercised"
-    assert (flags == 1).sum() > 0, "no tier-1 pairs exercised"
-    assert (flags == 2).sum() > 0, "no giant-tier pairs exercised"
-    assert (flags == 3).sum() > 0, "no escape pairs exercised"
-    term = lambda z: z * z
-    s_hw = spread_kernel.spread_term_sums(
-        omap, poses, scan.ranges, scan.angles, valid, pre, term,
+    assert ((flags == 1) | (flags == 2)).sum() > 0, "no mid/t2 pairs exercised"
+    assert (flags == 3).sum() > 0, "no giant-tier pairs exercised"
+    assert (flags == spread_kernel.ESCAPE).sum() > 0, "no escape pairs exercised"
+    hw, cov = spread_kernel.spread_distances_sorted(
+        omap, poses, scan.ranges, scan.angles, valid, pre,
         interpret=INTERPRET_HW)
-    s_it = spread_kernel.spread_term_sums(
-        omap, poses, scan.ranges, scan.angles, valid, pre, term,
-        interpret=True)
-    probe("spread.hw_vs_interpret", np.asarray(s_hw), np.asarray(s_it), 1e-5)
-
-    # numpy reference replicating the FULL numerical contract per pair:
-    # covered pairs read bf16(term(quantized dist)) (off-map: f32
-    # term(maxd)), escape pairs f32 term(quantized dist); f32 accumulation.
+    it, _ = spread_kernel.spread_distances_sorted(
+        omap, poses, scan.ranges, scan.angles, valid, pre, interpret=True)
+    cov = np.asarray(cov)
+    hw = np.where(cov, np.asarray(hw), 0.0)
+    it = np.where(cov, np.asarray(it), 0.0)
+    probe("spread.hw_vs_interpret", hw, it, 1e-5)
+    # numpy reference incl. the exact int8 quantization contract
     sp = np.asarray(pre["spose_s"])
     th = sp[None, :, 2] + np.asarray(scan.angles)[:, None]
     r = np.asarray(scan.ranges)[:, None]
@@ -337,30 +335,26 @@ def probe_spread(omap):
         [jnp.asarray(hx), jnp.asarray(hy)], axis=-1)))
     maxd = omap.max_distance_to_object
     tex8 = np.asarray(spread_kernel.quantized_tex(omap))
-    scale = maxd / spread_kernel.QLEVELS
-    tex_term_bf = np.asarray(jnp.asarray(
-        (tex8 * scale) ** 2, jnp.bfloat16).astype(jnp.float32))
     ii = np.clip(ij[..., 0], 0, omap.size_x - 1)
     jj = np.clip(ij[..., 1], 0, omap.size_y - 1)
     inmap = ((ij[..., 0] >= 0) & (ij[..., 0] < omap.size_x)
              & (ij[..., 1] >= 0) & (ij[..., 1] < omap.size_y))
-    t_cov = np.where(inmap, tex_term_bf[jj, ii], maxd * maxd)
-    t_esc = np.where(inmap, (tex8[jj, ii] * scale) ** 2, maxd * maxd)
-    n_tiles = pre["n_tiles"]
-    b = scan.ranges.shape[0]
-    grp = spread_kernel.group_of(b)
-    cov = np.repeat(
-        np.repeat((flags < 3).T, grp, axis=0)[:b],
-        spread_kernel.TILE_M, axis=1)[:, : poses.shape[0]]
-    v = np.asarray(valid)[:, None]
-    w_sorted = (np.where(cov, t_cov[:, : poses.shape[0]], t_esc[:, : poses.shape[0]])
-                * v).sum(0, dtype=np.float64)
+    want = np.where(inmap, tex8[jj, ii] * (maxd / spread_kernel.QLEVELS), maxd)
+    probe("spread.hw_vs_numpy", hw, np.where(cov, want, 0.0), 1e-5,
+          frac_exact=0.995, flip_tol=0.15)
+    # merged kernel + escape term sums (compiled) vs the numpy reduction
+    term = lambda z: z * z
+    s_hw = spread_kernel.spread_term_sums(
+        omap, poses, scan.ranges, scan.angles, valid, pre, term,
+        interpret=INTERPRET_HW)
+    got = np.asarray(spread_kernel.unsort(jnp.asarray(s_hw), pre))
     want_sum = np.zeros((poses.shape[0],), np.float64)
     perm = np.asarray(pre["perm"])
+    w_sorted = (np.asarray(want, np.float64) ** 2
+                * np.asarray(valid)[:, None]).sum(0)[: poses.shape[0]]
     want_sum[perm] = w_sorted
-    got = np.asarray(spread_kernel.unsort(jnp.asarray(s_hw), pre))
     probe("spread.term_sums_vs_numpy", got, want_sum, 1e-3,
-          frac_exact=0.99, flip_tol=5.0)
+          frac_exact=0.995, flip_tol=5.0)
 
 
 # --------------------------------------------------------------------- beam

@@ -14,20 +14,31 @@ sys.path.insert(0, ".")
 
 
 def timed(fn, x0, iters=100):
+    """Interleaved two-point chained slope (benchmarks/timing.py)."""
+    import time as _t
+
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
-    def loop(x):
-        return jax.lax.fori_loop(0, iters, lambda i, v: fn(v), x)
+    def loop(x, n):
+        return jax.lax.fori_loop(0, n, lambda i, v: fn(v), x)
 
-    t0 = time.perf_counter()
-    y = loop(x0)
+    lo, hi = jnp.int32(iters), jnp.int32(4 * iters)
+    t0 = _t.perf_counter()
+    y = loop(x0, lo)
     jax.block_until_ready(y)
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    y = loop(y)
-    jax.block_until_ready(y)
-    return (time.perf_counter() - t0) / iters * 1e3, compile_s
+    compile_s = _t.perf_counter() - t0
+
+    def run(n):
+        nonlocal y
+        t0 = _t.perf_counter()
+        y = loop(y, n)
+        jax.block_until_ready(y)
+        return _t.perf_counter() - t0
+
+    w = [run(lo), run(hi), run(hi), run(lo)]
+    return ((w[1] + w[2]) - (w[0] + w[3])) / 2.0 / (3 * iters) * 1e3, compile_s
 
 
 def main():
@@ -62,6 +73,7 @@ def main():
 
     geom = sk._geom(omap)
     tex8 = sk.quantized_tex(omap)
+    term = lambda z: z * z
 
     pre = jax.jit(sk.spread_prepass)(omap, state.poses, ranges, angles, valid)
     jax.block_until_ready(pre["flags"])
@@ -78,9 +90,10 @@ def main():
         "fits": bool(pre["fits"]),
         "n_tiles": int(pre["n_tiles"]),
         "tier0_pairs": int((fl == 0).sum()),
-        "tier1_pairs": int((fl == 1).sum()),
+        "tier_mid_pairs": int((fl == 1).sum()),
         "tier2_pairs": int((fl == 2).sum()),
-        "escape_pairs": int((fl == 3).sum()),
+        "giant_pairs": int((fl == 3).sum()),
+        "escape_pairs": int((fl == sk.ESCAPE).sum()),
     }
     print(json.dumps(out), flush=True)
 
@@ -89,7 +102,8 @@ def main():
     def run_with(fl_arr):
         def fn(s):
             o = sk._tiered_call(geom, tex8, s, ranges, angles, fl_arr,
-                                pre["org0"], pre["org1"], pre["org2"])
+                                pre["org0"], pre["orgm"], pre["org1"],
+                                pre["org2"])
             # chain: fold one output row back into the pose array
             return s.at[:, 0].add(o[0] * 1e-12)
         return fn
@@ -116,7 +130,6 @@ def main():
         out["prepass_compile_s"] = round(cs, 1)
 
     if "sums" in what:
-        term = lambda z: z * z
         def sums(s):
             t = sk.spread_term_sums(omap, s, ranges, angles, valid, pre, term)
             return s.at[:, 0].add(t[: s.shape[0]] * 1e-12)

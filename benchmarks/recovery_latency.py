@@ -81,10 +81,17 @@ def run_seed(seed, args):
         return math.hypot(est[0] - sim.true_pose[0],
                           est[1] - sim.true_pose[1])
 
+    front_clear = [True]
+
     def drive(v, w):
         odom = sim.step(v, w)
         node.integrate_odom(odom)
-        node.scan_received(sim.make_scan())
+        scan = sim.make_scan()
+        r = np.asarray(scan.ranges)
+        k = len(r) // 2
+        sector = r[max(0, k - 6): k + 7]
+        front_clear[0] = bool(np.nanmin(sector) > 0.9)
+        node.scan_received(scan)
         node.spin_once(sim.t)
 
     # phase 1: track until converged and accurate
@@ -108,12 +115,25 @@ def run_seed(seed, args):
     step_conv = None
     good_run = 0
     gl_fires = 1
+    turn = [0]  # >0: committed turn-in-place steps remaining
     while steps < args.max_steps:
-        # serpentine drive (turn direction flips every 20 updates): a pure
-        # circle of radius v/w revisits the same viewpoints and lets an
-        # ambiguous mode persist; coverage is what disambiguates
-        w = 0.4 if (steps // 20) % 2 == 0 else -0.4
-        drive(0.5, w)
+        # exploring wander: straight stretches with gentle alternating arcs
+        # (radius v/w ~ 3.3 m) that actually traverse the room, turning in
+        # place away from obstacles (the sim has no collision model). The
+        # earlier +-0.4 rad/s serpentine orbited a 1.25 m-radius circle —
+        # a fixed viewpoint ring from which rotational aliases of a
+        # near-symmetric room stay scan-consistent forever; COVERAGE is
+        # what disambiguates a kidnapped filter, exactly why operators
+        # drive the robot around after firing the GL service.
+        if turn[0] > 0 or not front_clear[0]:
+            if turn[0] <= 0:
+                turn[0] = 16  # ~0.96 rad committed turn
+            turn[0] -= 1
+            drive(0.02, 0.6)
+        else:
+            phase = (steps // 30) % 3
+            w = 0.0 if phase == 0 else (0.15 if phase == 1 else -0.15)
+            drive(0.5, w)
         steps += 1
         # operator/watchdog pattern: re-fire the global-localization
         # service if no recovery after refire_every updates (the reference

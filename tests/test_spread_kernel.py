@@ -67,7 +67,8 @@ def test_spread_term_sums_match_xla(huge_map):
     )
     assert bool(pre["fits"]), "spread cloud with short beams must fit"
     flags = np.asarray(pre["flags"])[: pre["n_tiles"]]
-    assert (flags < 3).mean() > 0.5, "most pairs should ride the kernel tiers"
+    assert (flags < spread_kernel.ESCAPE).mean() > 0.5, \
+        "most pairs should ride the kernel tiers"
     s = spread_kernel.spread_term_sums(
         huge_map, poses, scan.ranges, scan.angles, valid, pre,
         lambda z: z, interpret=True,
@@ -76,9 +77,9 @@ def test_spread_term_sums_match_xla(huge_map):
     z_xla = np.asarray(_xla_distances(huge_map, poses, scan), np.float64)
     want = (z_xla * np.asarray(valid)[:, None]).sum(0)
     b = scan.ranges.shape[0]
-    # per-beam error: int8 quantization (+-8 mm) + bf16 term rounding
-    # (rel 2^-8 of <= 2 m) + rare one-cell floor flips (res*sqrt(2))
-    tol = b * (0.008 + 2.0 / 256) + 3 * huge_map.resolution * 1.5
+    # per-beam error: int8 quantization (+-8 mm) + rare one-cell floor
+    # flips (res*sqrt(2))
+    tol = b * 0.009 + 3 * huge_map.resolution * 1.5
     np.testing.assert_allclose(got, want, atol=tol)
     # tighter distributional check: the MEAN error is quantization-level
     assert np.abs(got - want).mean() < b * 0.01, np.abs(got - want).mean()
@@ -235,6 +236,6 @@ def test_wall_adjacent_cloud_stays_in_envelope():
     pre = sk.spread_prepass(omap, spose, scan.ranges, scan.angles, valid)
     assert bool(pre["fits"])
     flags = np.asarray(pre["flags"])
-    n_esc = int((flags == 3).sum())
+    n_esc = int((flags == sk.ESCAPE).sum())
     total = int(flags.size)
     assert n_esc <= sk.CAP_PAIRS, (n_esc, total)
