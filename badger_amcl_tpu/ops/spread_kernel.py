@@ -67,6 +67,9 @@ def group_of(b: int) -> int:
     window loads and loop overhead, but a group's endpoint bbox unions its
     beams' arcs — its ANGULAR span (GRP x the scan's angular resolution)
     must stay small, so short scans take narrower groups."""
+    # (GRP 32 at 720 beams measured WORSE — 11.1 vs 10.77 ms real — the
+    # doubled arc span demotes too many pairs to bigger windows; GRP 8
+    # measured worse in round 4 via loop overhead. 16 is the sweet spot.)
     return 16 if b >= 256 else (8 if b >= 64 else 4)
 # Window tiers (rows x cols): per-endpoint MXU cost scales with ROWS*COLS.
 # int8 VMEM tiling is (32, 128): row origins align down to 32 (usable span
@@ -114,6 +117,7 @@ MAX_TEX_CELLS = 4 * 1024 * 1024  # int8 texture VMEM budget (bytes == cells)
 # gathers, ~4 ms) for a sprinkling of straggler tiles; <= CAP_PAIRS_MAX
 # (~16 ms) for evolved global-loc states where random-pose injection builds
 # a whole sparse sub-population (node.cpp:847-868 recovery regime).
+CAP_PAIRS_SMALL = 64
 CAP_PAIRS = 256
 CAP_PAIRS_MAX = 2048
 # Tier ids: 0 = (96,128), 1 = (160,192), 2 = (224,256), 3 = giant,
@@ -240,19 +244,17 @@ def _kernel(
             picked = jax.lax.dot_general(
                 window, colhot, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )  # (rows, wide) — quantized LEVELS, <= 127
-            # row-mask reduce on the MXU: levels fit int8 exactly, so pack
-            # the picked intermediate, mask it, and contract with a ones
-            # vector (int8 MXU) instead of the VPU select + sublane tree
-            # reduce over the full i32 (rows, wide) block
-            p8 = picked.astype(jnp.int8)
-            masked = jnp.where(row_iota == lr, p8, 0)
-            ones = jnp.ones((1, rows), jnp.int8)
-            lvl = jax.lax.dot_general(
-                ones, masked, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # (1, wide) — exactly one nonzero per column
-            return lvl.astype(jnp.float32) * scale
+            )  # (rows, wide)
+            # NOTE (round 5): routing this reduce through the MXU (pack
+            # picked to int8, mask, ones-contraction) measured SLOWER
+            # (tier0-all 7.67 -> 10.02 ms): the i32 -> i8 conversions force
+            # cross-sublane relayouts that cost more than the VPU select +
+            # tree reduce they replace. Same lesson as the bf16 term-window
+            # experiment (tier0-all 11.3 ms): mid-kernel dtype narrowing is
+            # a relayout, not a discount.
+            return jnp.sum(
+                jnp.where(row_iota == lr, picked, 0), axis=0, keepdims=True
+            ).astype(jnp.float32) * scale
 
         # branches for tiers whose window exceeds the texture must not
         # even TRACE (the slice would be malformed); the prepass zeroes
@@ -648,14 +650,23 @@ def spread_term_sums(omap, spose, ranges, angles, valid, pre, term_fn,
     terms = jnp.where(cov & valid[:, None], term_fn(zt), 0.0)
     sums = jnp.sum(terms, axis=0)  # (m_pad,)
     n_esc = pre["n_escape"]
+    # three cond-gated capacity tiers: the escape gather's cost is its
+    # STATIC cap (per-index scalar loops), so a typical global-loc cloud's
+    # ~50 straggler pairs must not pay the 256-pair arm's ~4 ms
     esc = jax.lax.cond(
         n_esc > 0,
         lambda _: jax.lax.cond(
-            n_esc <= CAP_PAIRS,
+            n_esc <= CAP_PAIRS_SMALL,
             lambda __: _escape_term_sums(
-                omap, pre, ranges, angles, valid, term_fn, CAP_PAIRS),
-            lambda __: _escape_term_sums(
-                omap, pre, ranges, angles, valid, term_fn, CAP_PAIRS_MAX),
+                omap, pre, ranges, angles, valid, term_fn, CAP_PAIRS_SMALL),
+            lambda __: jax.lax.cond(
+                n_esc <= CAP_PAIRS,
+                lambda ___: _escape_term_sums(
+                    omap, pre, ranges, angles, valid, term_fn, CAP_PAIRS),
+                lambda ___: _escape_term_sums(
+                    omap, pre, ranges, angles, valid, term_fn, CAP_PAIRS_MAX),
+                operand=None,
+            ),
             operand=None,
         ),
         lambda _: jnp.zeros_like(sums),

@@ -248,69 +248,91 @@ def compute_cluster_stats(poses, weights, active, params,
     cap = params.stats_max_clusters
     k_fast = min(cap if cap else MAX_FAST_CLUSTERS, m)
 
+    def _finalize(sums, width):
+        """Per-cluster means/covs + whole-set stats from the (9, width)
+        segment sums, all at `width` (the fast arm runs this at K=128, not
+        M — round 4's phase profile charged ~0.3 ms/step to M-wide stats
+        math whose live entries never exceed the cluster cap). The set
+        stats are the sums over clusters of the same accumulators
+        (reassociation only — every active particle lands in exactly one
+        cluster segment here: fast arm runs only when cluster_count <=
+        k_fast, so no id is dropped)."""
+        cw, cnt_f, mx, my, mc, ms, cxx, cxy, cyy = sums
+        cnt = jnp.round(cnt_f).astype(jnp.int32)
+        root = jnp.arange(width) < cluster_count
+        safe_w = jnp.where(cw > 0, cw, 1.0)
+        mean_x = mx / safe_w
+        mean_y = my / safe_w
+        mean_a = jnp.arctan2(ms, mc)
+        cluster_means = jnp.stack([mean_x, mean_y, mean_a], axis=1)
+        # covariance (normalizeCluster, particle_filter.cpp:555-568); yaw
+        # variance uses the *raw* weighted cos/sin sums, as the reference
+        cov = jnp.zeros((width, 3, 3), jnp.float32)
+        cov = cov.at[:, 0, 0].set(cxx / safe_w - mean_x * mean_x)
+        cov = cov.at[:, 0, 1].set(cxy / safe_w - mean_x * mean_y)
+        cov = cov.at[:, 1, 0].set(cxy / safe_w - mean_x * mean_y)
+        cov = cov.at[:, 1, 1].set(cyy / safe_w - mean_y * mean_y)
+        r = jnp.sqrt(mc * mc + ms * ms)
+        cov = cov.at[:, 2, 2].set(-2.0 * jnp.log(jnp.maximum(r, 1e-30)))
+
+        # whole-set stats (computeSetStats, particle_filter.cpp:620-636)
+        rootf = root.astype(jnp.float32)
+        tw = jnp.sum(cw * rootf)
+        safe_tw = jnp.where(tw > 0, tw, 1.0)
+        smx = jnp.sum(mx * rootf) / safe_tw
+        smy = jnp.sum(my * rootf) / safe_tw
+        smc, sms = jnp.sum(mc * rootf), jnp.sum(ms * rootf)
+        set_mean = jnp.stack([smx, smy, jnp.arctan2(sms, smc)])
+        set_cov = jnp.zeros((3, 3), jnp.float32)
+        set_cov = set_cov.at[0, 0].set(
+            jnp.sum(cxx * rootf) / safe_tw - smx * smx)
+        set_cov = set_cov.at[0, 1].set(
+            jnp.sum(cxy * rootf) / safe_tw - smx * smy)
+        set_cov = set_cov.at[1, 0].set(set_cov[0, 1])
+        set_cov = set_cov.at[1, 1].set(
+            jnp.sum(cyy * rootf) / safe_tw - smy * smy)
+        # NOTE: raw weighted cos/sin sums (computeSetStats,
+        # particle_filter.cpp:635)
+        sr = jnp.sqrt(smc * smc + sms * sms)
+        set_cov = set_cov.at[2, 2].set(-2.0 * jnp.log(jnp.maximum(sr, 1e-30)))
+
+        def padm(a):
+            if width == m:
+                return a
+            return jnp.concatenate(
+                [a, jnp.zeros((m - width,) + a.shape[1:], a.dtype)]
+            )
+
+        return ClusterStats(
+            cluster_count=cluster_count,
+            cluster_valid=padm(root),
+            cluster_weights=padm(jnp.where(root, cw, 0.0)),
+            cluster_counts=padm(jnp.where(root, cnt, 0)),
+            cluster_means=padm(jnp.where(root[:, None], cluster_means, 0.0)),
+            cluster_covs=padm(jnp.where(root[:, None, None], cov, 0.0)),
+            mean=set_mean.astype(jnp.float32),
+            cov=set_cov,
+            particle_cluster=pc,
+        )
+
     def seg_fast(_):
         from badger_amcl_tpu.ops import mxu_gather
 
         sums_k = mxu_gather.segment_sums_small(vals, pc, k_fast)
-        return jnp.pad(sums_k, ((0, 0), (0, m - k_fast)))
+        return _finalize(sums_k, k_fast)
 
     def seg_slow(_):
-        return jnp.stack(
+        sums = jnp.stack(
             [jax.ops.segment_sum(v, pc, num_segments=m) for v in vals]
         )
+        return _finalize(sums, m)
 
     if cap:
         # fleet configuration: MXU-only, clusters past the cap drop out of
-        # the statistics (see PFParams.stats_max_clusters)
-        sums = seg_fast(None)
-    else:
-        sums = jax.lax.cond(
-            cluster_count <= k_fast, seg_fast, seg_slow, operand=None
-        )
-    cw, cnt_f, mx, my, mc, ms, cxx, cxy, cyy = sums
-    cnt = jnp.round(cnt_f).astype(jnp.int32)
-
-    root = jnp.arange(m) < cluster_count
-
-    safe_w = jnp.where(cw > 0, cw, 1.0)
-    mean_x = mx / safe_w
-    mean_y = my / safe_w
-    mean_a = jnp.arctan2(ms, mc)
-    cluster_means = jnp.stack([mean_x, mean_y, mean_a], axis=1)
-
-    # covariance (normalizeCluster, particle_filter.cpp:555-568); the yaw
-    # variance uses the *raw* weighted cos/sin sums, as the reference does
-    cov = jnp.zeros((m, 3, 3), jnp.float32)
-    cov = cov.at[:, 0, 0].set(cxx / safe_w - mean_x * mean_x)
-    cov = cov.at[:, 0, 1].set(cxy / safe_w - mean_x * mean_y)
-    cov = cov.at[:, 1, 0].set(cxy / safe_w - mean_x * mean_y)
-    cov = cov.at[:, 1, 1].set(cyy / safe_w - mean_y * mean_y)
-    r = jnp.sqrt(mc * mc + ms * ms)
-    cov = cov.at[:, 2, 2].set(-2.0 * jnp.log(jnp.maximum(r, 1e-30)))
-
-    # whole-set stats (computeSetStats, particle_filter.cpp:620-636)
-    tw = jnp.sum(w)
-    safe_tw = jnp.where(tw > 0, tw, 1.0)
-    smx, smy = jnp.sum(w * x) / safe_tw, jnp.sum(w * y) / safe_tw
-    smc, sms = jnp.sum(w * c), jnp.sum(w * s)
-    set_mean = jnp.stack([smx, smy, jnp.arctan2(sms, smc)])
-    set_cov = jnp.zeros((3, 3), jnp.float32)
-    set_cov = set_cov.at[0, 0].set(jnp.sum(w * x * x) / safe_tw - smx * smx)
-    set_cov = set_cov.at[0, 1].set(jnp.sum(w * x * y) / safe_tw - smx * smy)
-    set_cov = set_cov.at[1, 0].set(set_cov[0, 1])
-    set_cov = set_cov.at[1, 1].set(jnp.sum(w * y * y) / safe_tw - smy * smy)
-    # NOTE: raw weighted cos/sin sums (computeSetStats, particle_filter.cpp:635)
-    sr = jnp.sqrt(smc * smc + sms * sms)
-    set_cov = set_cov.at[2, 2].set(-2.0 * jnp.log(jnp.maximum(sr, 1e-30)))
-
-    return ClusterStats(
-        cluster_count=cluster_count,
-        cluster_valid=root,
-        cluster_weights=jnp.where(root, cw, 0.0),
-        cluster_counts=jnp.where(root, cnt, 0),
-        cluster_means=jnp.where(root[:, None], cluster_means, 0.0),
-        cluster_covs=jnp.where(root[:, None, None], cov, 0.0),
-        mean=set_mean.astype(jnp.float32),
-        cov=set_cov,
-        particle_cluster=pc,
+        # the statistics (see PFParams.stats_max_clusters). Their particles
+        # ARE dropped from the set sums here too — acceptable under the
+        # cap's documented approximation; the single-robot path never caps.
+        return seg_fast(None)
+    return jax.lax.cond(
+        cluster_count <= k_fast, seg_fast, seg_slow, operand=None
     )

@@ -241,13 +241,22 @@ def init_log_averages(state: MCLState) -> MCLState:
 # Convergence
 
 
-def update_converged(state: MCLState, params: PFParams) -> MCLState:
+def update_converged(state: MCLState, params: PFParams,
+                     mean_xy=None) -> MCLState:
     """updateConverged (particle_filter.cpp:170-220): fraction of particles
-    within dist_threshold (L-inf, 0.5 m) of the unweighted x/y mean."""
+    within dist_threshold (L-inf, 0.5 m) of the unweighted x/y mean.
+
+    mean_xy: optional precomputed (2,) unweighted active mean — resample
+    passes the fresh cluster stats' set mean (weights are uniform
+    post-resample, so the weighted set mean IS the unweighted one, up to
+    f32 reassociation), saving two 50k reductions per step."""
     active = state.active_mask
     n = jnp.maximum(state.n_active.astype(jnp.float32), 1.0)
-    mx = jnp.sum(jnp.where(active, state.poses[:, 0], 0.0)) / n
-    my = jnp.sum(jnp.where(active, state.poses[:, 1], 0.0)) / n
+    if mean_xy is not None:
+        mx, my = mean_xy[0], mean_xy[1]
+    else:
+        mx = jnp.sum(jnp.where(active, state.poses[:, 0], 0.0)) / n
+        my = jnp.sum(jnp.where(active, state.poses[:, 1], 0.0)) / n
     within = (
         (jnp.abs(state.poses[:, 0] - mx) <= params.dist_threshold)
         & (jnp.abs(state.poses[:, 1] - my) <= params.dist_threshold)
@@ -551,7 +560,7 @@ def resample(
         precomputed_ranks=ranks,
     )
     new_state = new_state.replace(stats=stats)
-    return update_converged(new_state, params)
+    return update_converged(new_state, params, mean_xy=stats.mean[:2])
 
 
 # ---------------------------------------------------------------------------
@@ -763,7 +772,8 @@ def sensor_resample_cells(
             new_state.poses, new_state.weights, new_state.active_mask,
             params, precomputed_ranks=(rank_p, cluster_count),
         )
-        return update_converged(new_state.replace(stats=stats), params)
+        return update_converged(new_state.replace(stats=stats), params,
+                                mean_xy=stats.mean[:2])
 
     return jax.lax.cond(ok, cell_arm, lambda _: classic_fn(), operand=None)
 

@@ -16,20 +16,29 @@ sys.path.insert(0, ".")
 
 
 def timed(fn, x0, iters=100):
+    """Interleaved two-point chained slope (benchmarks/timing.py)."""
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
-    def loop(x):
-        return jax.lax.fori_loop(0, iters, lambda i, v: fn(v), x)
+    def loop(x, n):
+        return jax.lax.fori_loop(0, n, lambda i, v: fn(v), x)
 
+    lo, hi = jnp.int32(iters), jnp.int32(4 * iters)
     t0 = time.perf_counter()
-    y = loop(x0)
+    y = loop(x0, lo)
     jax.block_until_ready(y)
     cs = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    y = loop(y)
-    jax.block_until_ready(y)
-    return (time.perf_counter() - t0) / iters * 1e3, cs
+
+    def run(n):
+        nonlocal y
+        t0 = time.perf_counter()
+        y = loop(y, n)
+        jax.block_until_ready(y)
+        return time.perf_counter() - t0
+
+    w = [run(lo), run(hi), run(hi), run(lo)]
+    return ((w[1] + w[2]) - (w[0] + w[3])) / 2.0 / (3 * iters) * 1e3, cs
 
 
 def main():
@@ -99,13 +108,27 @@ def main():
 
     term = lambda zz: zz * zz
 
-    def sums(s):
-        t = psk.pc_spread_term_sums(omap, s, cld, pre, term)
-        return s.at[:, 0].add(t[: s.shape[0]] * 1e-12)
+    def sums_with(fl_arr, zero_escape=False):
+        pre2 = dict(pre)
+        pre2["flags"] = fl_arr
+        if zero_escape:
+            pre2["n_escape"] = jnp.zeros_like(pre["n_escape"])
 
-    ms, cs = timed(sums, poses, args.iters)
+        def fn(s):
+            t = psk.pc_spread_term_sums(omap, s, cld, pre2, term)
+            return s.at[:, 0].add(t[: s.shape[0]] * 1e-12)
+
+        return fn
+
+    ms, cs = timed(sums_with(pre["flags"]), poses, args.iters)
     out["term_sums_ms"] = round(ms, 2)
     out["term_sums_compile_s"] = round(cs, 1)
+    # forced-lower-bound: every pair in the smallest window tier (the 2D
+    # kernel's tier-occupancy methodology, PERF.md spread section)
+    ms, cs = timed(
+        sums_with(jnp.zeros_like(pre["flags"]), zero_escape=True),
+        poses, args.iters)
+    out["tier0_all_ms"] = round(ms, 2)
 
     def pp(s):
         p = psk.pc_spread_prepass(omap, s, cld)

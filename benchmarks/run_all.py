@@ -25,22 +25,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _time_chain(step, state, iters=100, env=None):
-    """env: big pytrees (map textures, scans, pools) passed as jit ARGUMENTS
+    """Interleaved TWO-POINT chained slope (the round-4/5 timing
+    methodology, benchmarks/timing.py): the chain runs inside ONE jit'd
+    fori_loop with a TRACED trip count, timed at iters and 4*iters in
+    lo,hi,hi,lo order — cancels the tunnel's fixed per-dispatch penalty
+    AND its linear drift. (Earlier rounds' pipelined python loop could
+    hide per-step dispatch under async pipelining — every CONFIGS row now
+    shares this one harness.)
+
+    env: big pytrees (map textures, scans, pools) passed as jit ARGUMENTS
     instead of python closures — closure constants embed in the HLO as
     literals (a 512 MB range image made the remote-compile request exceed
     its body limit: HTTP 413) and bloat every compile payload."""
     import jax
+    import jax.numpy as jnp
 
     args = () if env is None else (env,)
-    s = step(state, *args)
+
+    @jax.jit
+    def loop(s, n, *a):
+        return jax.lax.fori_loop(0, n, lambda i, t: step(t, *a), s)
+
+    lo, hi = jnp.int32(iters), jnp.int32(4 * iters)
+    s = loop(state, lo, *args)
     jax.block_until_ready(s)
-    s = step(s, *args)
-    jax.block_until_ready(s)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        s = step(s, *args)
-    jax.block_until_ready(s)
-    return (time.perf_counter() - t0) / iters, s
+
+    def run(n):
+        nonlocal s
+        t0 = time.perf_counter()
+        s = loop(s, n, *args)
+        jax.block_until_ready(s)
+        return time.perf_counter() - t0
+
+    w_lo1, w_hi1, w_hi2, w_lo2 = run(lo), run(hi), run(hi), run(lo)
+    return ((w_hi1 + w_hi2) - (w_lo1 + w_lo2)) / 2.0 / (3 * iters), s
 
 
 def bench_2d_lf(backend):
@@ -50,12 +68,15 @@ def bench_2d_lf(backend):
     omap, params, state, scan, sp, pool = _build_setup(
         500, 180, 1024, pose_cov=(0.02, 0.02, 0.002), min_particles=500
     )
+    contract = "cell" if backend.startswith("pallas_corr") else "pick"
     dt, _ = _time_chain(
         lambda s: mcl.sensor_resample_step_jit(s, omap, sp, scan, pool, params,
-                                               backend=backend),
+                                               backend=backend,
+                                               resample_contract=contract),
         state,
     )
     return {"config": "2d_lf_500x180", "step_ms": dt * 1e3,
+            "resample_contract": contract,
             "evals_per_sec": 500 * 180 / dt}
 
 
@@ -115,18 +136,53 @@ def bench_2d_beam_spread(backend):
             "evals_per_sec": n * 720 / dt}
 
 
+def bench_2d_prob_log(backend):
+    """likelihood_field_prob at 720 beams via the log-space-resident weight
+    pipeline (round-5 capability: the default exp path underflows f32 past
+    ~60 beams and uniform-resets forever; pf/filter.py sensor_update_log).
+    Parity evidence vs an f64 CPU oracle: tests/test_prob_log.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_setup
+    from badger_amcl_tpu.pf import filter as pf_filter
+    from badger_amcl_tpu.sensors.planar import planar_likelihood
+
+    n = 50000
+    omap, params, state, scan, sp, pool = _build_setup(
+        n, 720, 1024, pose_cov=(0.02, 0.02, 0.002), min_particles=n
+    )
+    state = pf_filter.init_log_averages(state)
+    env = (omap, scan, pool)
+
+    def step(s, env):
+        omap_e, scan_e, pool_e = env
+        logp, mf = planar_likelihood(
+            omap_e, sp, scan_e, s.poses, s.active_mask, s.n_active,
+            "likelihood_field_prob", converged=s.converged,
+            backend=backend, prob_log_space=True)
+        s2 = pf_filter.sensor_update_log(s, logp, mf)
+        return pf_filter.resample(s2, params, pool_e, log_averages=True)
+
+    dt, _ = _time_chain(step, state, iters=30, env=env)
+    return {"config": "2d_prob_log_50000x720", "step_ms": dt * 1e3,
+            "evals_per_sec": n * 720 / dt}
+
+
 def bench_kld_sweep(backend):
     from __graft_entry__ import _build_setup
     from badger_amcl_tpu import mcl
 
     out = []
+    contract = "cell" if backend.startswith("pallas_corr") else "pick"
     for n in (100, 1000, 10000, 50000):
         omap, params, state, scan, sp, pool = _build_setup(
             n, 180, 1024, pose_cov=(4.0, 4.0, 1.5), min_particles=max(50, n // 100)
         )
         dt, s_end = _time_chain(
             lambda s: mcl.sensor_resample_step_jit(s, omap, sp, scan, pool, params,
-                                                   backend=backend),
+                                                   backend=backend,
+                                                   resample_contract=contract),
             state, iters=20,
         )
         import jax
@@ -270,6 +326,7 @@ def main():
         "2d_lf": bench_2d_lf,
         "2d_beam": bench_2d_beam,
         "2d_beam_spread": bench_2d_beam_spread,
+        "2d_prob_log": bench_2d_prob_log,
         "kld": bench_kld_sweep,
         "3d": bench_3d,
         "3d_spread": bench_3d_spread,
