@@ -45,15 +45,20 @@ from badger_amcl_tpu.ops.spread_kernel import (
     BLOCK_Y,
     CAP_PAIRS,
     CAP_PAIRS_MAX,
+    CAP_PAIRS_SMALL,
     CLASS_EDGES,
     COLS0,
+    COLS_M,
     COLS1,
     COLS2,
+    ESCAPE,
     LOAD_C0,
+    LOAD_CM,
     LOAD_C1,
     LOAD_C2,
     NYAW,
     ROWS0,
+    ROWS_M,
     ROWS1,
     ROWS2,
     TILE_M,
@@ -153,6 +158,7 @@ def point_prep(omap, points_base):
 def _kernel3(
     flags_ref,  # (8, G) int32 SMEM tier per (tile, group)
     org0_ref,  # (8, G) int32 SMEM packed (row0 << 16) | col0
+    orgm_ref,  # middle tier (160, 192) — round 5, mirrors the 2D ladder
     org1_ref,
     org2_ref,
     slab_ref,  # (8, G) int32 SMEM — wait: slab is tile-independent, (1, G)
@@ -178,6 +184,8 @@ def _kernel3(
     st8 = jnp.concatenate([st_ref[:]] * GRP3, axis=1)
     col_iota0 = jax.lax.broadcasted_iota(jnp.int32, (COLS0, wide), 0)
     row_iota0 = jax.lax.broadcasted_iota(jnp.int32, (ROWS0, wide), 0)
+    col_iotam = jax.lax.broadcasted_iota(jnp.int32, (COLS_M, wide), 0)
+    row_iotam = jax.lax.broadcasted_iota(jnp.int32, (ROWS_M, wide), 0)
     col_iota1 = jax.lax.broadcasted_iota(jnp.int32, (COLS1, wide), 0)
     row_iota1 = jax.lax.broadcasted_iota(jnp.int32, (ROWS1, wide), 0)
     col_iota2 = jax.lax.broadcasted_iota(jnp.int32, (COLS2, wide), 0)
@@ -238,11 +246,17 @@ def _kernel3(
         if 1 in tiers:
             @pl.when(fl == 1)
             def _():
-                emit(pick(org1_ref[tile8, g], ROWS1, COLS1, LOAD_C1,
-                          col_iota1, row_iota1))
+                emit(pick(orgm_ref[tile8, g], ROWS_M, COLS_M, LOAD_CM,
+                          col_iotam, row_iotam))
 
         if 2 in tiers:
             @pl.when(fl == 2)
+            def _():
+                emit(pick(org1_ref[tile8, g], ROWS1, COLS1, LOAD_C1,
+                          col_iota1, row_iota1))
+
+        if 3 in tiers:
+            @pl.when(fl == 3)
             def _():
                 emit(pick(org2_ref[tile8, g], ROWS2, COLS2, LOAD_C2,
                           col_iota2, row_iota2))
@@ -376,6 +390,9 @@ def pc_spread_prepass(omap, poses, points_base):
     fit0, org0 = tier_fit(ROWS0, COLS0, LOAD_C0)
     if not (ny >= ROWS0 and nx >= LOAD_C0):
         fit0 = jnp.zeros_like(fit0)
+    fitm, orgm = tier_fit(ROWS_M, COLS_M, LOAD_CM)
+    if not (ny >= ROWS_M and nx >= LOAD_CM):
+        fitm = jnp.zeros_like(fitm)
     fit1, org1 = tier_fit(ROWS1, COLS1, LOAD_C1)
     if not (ny >= ROWS1 and nx >= LOAD_C1):
         fit1 = jnp.zeros_like(fit1)
@@ -383,9 +400,10 @@ def pc_spread_prepass(omap, poses, points_base):
     if not (ny >= ROWS2 and nx >= LOAD_C2):
         fit2 = jnp.zeros_like(fit2)
     flags = jnp.where(
-        fit0, 0, jnp.where(fit1, 1, jnp.where(fit2, 2, 3))
+        fit0, 0,
+        jnp.where(fitm, 1, jnp.where(fit1, 2, jnp.where(fit2, 3, ESCAPE))),
     ).astype(jnp.int32)
-    n_escape = jnp.sum(flags == 3).astype(jnp.int32)
+    n_escape = jnp.sum(flags == ESCAPE).astype(jnp.int32)
 
     pad8 = (-n_tiles) % 8
 
@@ -403,6 +421,7 @@ def pc_spread_prepass(omap, poses, points_base):
         "spose_s": spose_s,
         "flags": to_tiles(flags),
         "org0": to_tiles(org0),
+        "orgm": to_tiles(orgm),
         "org1": to_tiles(org1),
         "org2": to_tiles(org2),
         "slab_tiles": slab_tiles,
@@ -418,7 +437,7 @@ def pc_spread_prepass(omap, poses, points_base):
 @functools.partial(jax.jit, static_argnames=("sizes", "interpret"))
 def _tiered_call3(sizes, tex_zyx, spose_s, pre_arrays, inv_res, mins,
                   interpret=False):
-    flags, org0, org1, org2, slab_tiles, A, B = pre_arrays
+    flags, org0, orgm, org1, org2, slab_tiles, A, B = pre_arrays
     m_pad = spose_s.shape[0]
     budget = A.shape[0]
     n_groups = budget // GRP3
@@ -433,6 +452,8 @@ def _tiered_call3(sizes, tex_zyx, spose_s, pre_arrays, inv_res, mins,
         num_scalar_prefetch=0,
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec((8, n_groups), lambda t: (t // 8, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((8, n_groups), lambda t: (t // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, n_groups), lambda t: (t // 8, 0),
@@ -460,7 +481,8 @@ def _tiered_call3(sizes, tex_zyx, spose_s, pre_arrays, inv_res, mins,
     nx, ny = sizes
     tiers = tuple(
         t for t, (rr, lc) in enumerate(
-            ((ROWS0, LOAD_C0), (ROWS1, LOAD_C1), (ROWS2, LOAD_C2)))
+            ((ROWS0, LOAD_C0), (ROWS_M, LOAD_CM), (ROWS1, LOAD_C1),
+             (ROWS2, LOAD_C2)))
         if ny >= rr and nx >= lc
     )
     kern = functools.partial(
@@ -471,7 +493,7 @@ def _tiered_call3(sizes, tex_zyx, spose_s, pre_arrays, inv_res, mins,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
-    )(flags, org0, org1, org2, slab_tiles, tex_zyx, arep, brep,
+    )(flags, org0, orgm, org1, org2, slab_tiles, tex_zyx, arep, brep,
       pxc, pyc, ct, st)
 
 
@@ -485,7 +507,7 @@ def _escape_term_sums3(omap, pre, term_fn, cap):
     big = jnp.int32(1 << 30)
     pid = jnp.arange(n_tiles * g, dtype=jnp.int32)
     esc_sorted = jax.lax.sort(
-        jnp.where(flags.reshape(-1) == 3, pid, big), is_stable=False
+        jnp.where(flags.reshape(-1) == ESCAPE, pid, big), is_stable=False
     )
     ids = esc_sorted[:cap]
     pvalid = ids < n_tiles * g
@@ -534,14 +556,14 @@ def pc_spread_term_sums(omap, poses, points_base, pre, term_fn,
     pts = pre["pts"]
     zt = _tiered_call3(
         (nx, ny), tex_zyx, pre["spose_s"],
-        (pre["flags"], pre["org0"], pre["org1"], pre["org2"],
+        (pre["flags"], pre["org0"], pre["orgm"], pre["org1"], pre["org2"],
          pre["slab_tiles"], pts["A"], pts["B"]),
         jnp.float32(1.0 / omap.resolution),
         (omap.min_cells[0], omap.min_cells[1]),
         interpret=interpret,
     )  # (budget, m_pad) ratios
     n_tiles = pre["n_tiles"]
-    cov_pairs = pre["flags"][:n_tiles] < 3  # (n_tiles, G)
+    cov_pairs = pre["flags"][:n_tiles] < ESCAPE  # (n_tiles, G)
     cov = jnp.repeat(
         jnp.repeat(jnp.transpose(cov_pairs), GRP3, axis=0),
         TILE_M, axis=1,
@@ -555,9 +577,16 @@ def pc_spread_term_sums(omap, poses, points_base, pre, term_fn,
     esc = jax.lax.cond(
         n_esc > 0,
         lambda _: jax.lax.cond(
-            n_esc <= CAP_PAIRS,
-            lambda __: _escape_term_sums3(omap, pre, term_fn, CAP_PAIRS),
-            lambda __: _escape_term_sums3(omap, pre, term_fn, CAP_PAIRS_MAX),
+            n_esc <= CAP_PAIRS_SMALL,
+            lambda __: _escape_term_sums3(
+                omap, pre, term_fn, CAP_PAIRS_SMALL),
+            lambda __: jax.lax.cond(
+                n_esc <= CAP_PAIRS,
+                lambda ___: _escape_term_sums3(omap, pre, term_fn, CAP_PAIRS),
+                lambda ___: _escape_term_sums3(
+                    omap, pre, term_fn, CAP_PAIRS_MAX),
+                operand=None,
+            ),
             operand=None,
         ),
         lambda _: jnp.zeros_like(sums),

@@ -217,6 +217,61 @@ def main():
 
     out["fused_resample_core_ms"] = timed(fusedresample_only, state, args.iters)
 
+    # -- cell-contract phases (round 5): the pinned full step and the
+    # fused cell-space sensor+resample alone
+    poses0 = state.poses
+
+    @jax.jit
+    def fullstep_cell(s):
+        s2 = mcl.sensor_resample_step_jit(
+            s, omap, scan_params, scan, pool, params, backend=backend,
+            resample_contract="cell")
+        return s2.replace(
+            poses=poses0 + jnp.mean(s2.poses) * 1e-12,
+            weights=jnp.full_like(s2.weights, 1.0 / args.particles),
+            n_active=jnp.int32(args.particles))
+
+    out["full_step_cell_ms"] = timed(fullstep_cell, state, args.iters)
+
+    @jax.jit
+    def fullstep_pick_pinned(s):
+        s2 = mcl.sensor_resample_step_jit(
+            s, omap, scan_params, scan, pool, params, backend=backend,
+            resample_contract="pick")
+        return s2.replace(
+            poses=poses0 + jnp.mean(s2.poses) * 1e-12,
+            weights=jnp.full_like(s2.weights, 1.0 / args.particles),
+            n_active=jnp.int32(args.particles))
+
+    out["full_step_pick_pinned_ms"] = timed(fullstep_pick_pinned, state,
+                                            args.iters)
+
+    tbl0, key0, ok0 = jax.jit(
+        lambda ps: planar.planar_likelihood_cells(
+            omap, scan_params, scan, ps, "likelihood_field", backend)
+    )(state.poses)
+    jax.block_until_ready(key0)
+
+    @jax.jit
+    def cells_likelihood_only(s):
+        tbl, key_m, ok = planar.planar_likelihood_cells(
+            omap, scan_params, scan, s.poses, "likelihood_field", backend)
+        return chain(s, key_m.astype(jnp.float32) * 1e-6 + tbl[0])
+
+    out["cells_likelihood_ms"] = timed(cells_likelihood_only, state,
+                                       args.iters)
+
+    @jax.jit
+    def cellresample_only(s):
+        s2 = pf_filter.sensor_resample_cells(
+            s, params, pool, tbl0, key0, ok0, lambda: s)
+        return s2.replace(
+            poses=poses0 + jnp.mean(s2.poses) * 1e-12,
+            weights=jnp.full_like(s2.weights, 1.0 / args.particles),
+            n_active=jnp.int32(args.particles))
+
+    out["cell_resample_ms"] = timed(cellresample_only, state, args.iters)
+
     # corr kernel call alone (prepass hoisted OUT of the chain): the tap
     # loop + in-kernel DMA + table read, nothing else
     pre0 = jax.jit(
