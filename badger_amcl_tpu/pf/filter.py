@@ -601,30 +601,33 @@ def _pick_cells(cum, planes, r):
     chunk = 128
     assert u % chunk == 0
     n_chunks = u // chunk
-    p = planes.shape[0]
     cum2d = cum.reshape(n_chunks, chunk)
     ends = cum2d[:, -1]
     ci = jnp.sum(r[:, None] >= ends[None, :], axis=1).astype(jnp.int32)
     ci = jnp.clip(ci, 0, n_chunks - 1)
     onehot_c = (ci[:, None] == jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
                 ).astype(jnp.float32)
-    # pack cum + payload planes into one (n_chunks, (1+P)*chunk) operand
-    packed = jnp.concatenate(
-        [cum2d[:, None, :],
-         planes.reshape(p, n_chunks, chunk).transpose(1, 0, 2)], axis=1,
-    ).reshape(n_chunks, (1 + p) * chunk)
-    rows = jax.lax.dot_general(
-        onehot_c, packed, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(-1, 1 + p, chunk)
-    within = jnp.sum(r[:, None] >= rows[:, 0, :], axis=1).astype(jnp.int32)
+
+    def fetch(plane2d):
+        # one (Q, chunk) row fetch per plane — a single packed
+        # (Q, (1+P)*chunk) fetch measured ~2x worse at 50k draws (the
+        # 128 MB intermediate swamps the saved dot dispatches)
+        return jax.lax.dot_general(
+            onehot_c, plane2d, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    rows_c = fetch(cum2d)
+    within = jnp.sum(r[:, None] >= rows_c, axis=1).astype(jnp.int32)
     within = jnp.clip(within, 0, chunk - 1)
     onehot_w = within[:, None] == jnp.arange(chunk, dtype=jnp.int32)[None, :]
-    payload = jnp.sum(
-        jnp.where(onehot_w[:, None, :], rows[:, 1:, :], 0.0), axis=2
-    )  # (Q, P)
-    return payload
+    payload = [
+        jnp.sum(jnp.where(onehot_w, fetch(pl2.reshape(n_chunks, chunk)), 0.0),
+                axis=1)
+        for pl2 in planes
+    ]
+    return jnp.stack(payload, axis=1)  # (Q, P)
 
 
 def sensor_resample_cells(

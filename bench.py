@@ -31,10 +31,14 @@ def main():
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--platform", default=None, help="override jax platform (e.g. cpu)")
     ap.add_argument("--backend", default=None, help="force compute backend (xla/pallas)")
-    ap.add_argument("--contract", default="cell",
-                    help="resampling contract: cell (default; distribution-"
-                         "identical cell-space multinomial, pf/filter.py) or "
-                         "pick (reference-exact per-particle picks)")
+    ap.add_argument("--contract", default="pick",
+                    help="resampling contract: pick (default; reference-exact "
+                         "per-particle picks) or cell (distribution-identical "
+                         "cell-space multinomial, pf/filter.py — measured a "
+                         "statistical TIE with pick at the flagship shape: "
+                         "its per-cell reads save the 0.39 ms likelihood "
+                         "table take but its sort/compact/fetch machinery "
+                         "costs the same back; see PERF.md floor accounting)")
     args = ap.parse_args()
 
     import jax

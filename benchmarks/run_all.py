@@ -68,15 +68,12 @@ def bench_2d_lf(backend):
     omap, params, state, scan, sp, pool = _build_setup(
         500, 180, 1024, pose_cov=(0.02, 0.02, 0.002), min_particles=500
     )
-    contract = "cell" if backend.startswith("pallas_corr") else "pick"
     dt, _ = _time_chain(
         lambda s: mcl.sensor_resample_step_jit(s, omap, sp, scan, pool, params,
-                                               backend=backend,
-                                               resample_contract=contract),
+                                               backend=backend),
         state,
     )
     return {"config": "2d_lf_500x180", "step_ms": dt * 1e3,
-            "resample_contract": contract,
             "evals_per_sec": 500 * 180 / dt}
 
 
@@ -174,15 +171,13 @@ def bench_kld_sweep(backend):
     from badger_amcl_tpu import mcl
 
     out = []
-    contract = "cell" if backend.startswith("pallas_corr") else "pick"
     for n in (100, 1000, 10000, 50000):
         omap, params, state, scan, sp, pool = _build_setup(
             n, 180, 1024, pose_cov=(4.0, 4.0, 1.5), min_particles=max(50, n // 100)
         )
         dt, s_end = _time_chain(
             lambda s: mcl.sensor_resample_step_jit(s, omap, sp, scan, pool, params,
-                                                   backend=backend,
-                                                   resample_contract=contract),
+                                                   backend=backend),
             state, iters=20,
         )
         import jax
