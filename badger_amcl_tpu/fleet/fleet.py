@@ -96,6 +96,11 @@ def fleet_step(
         omap, scan_params, scans, states, laser_model, backend
     )
     states = jax.vmap(pf_filter.sensor_update)(states, p, mf)
+    if resample_model == ResampleModel.MULTINOMIAL:
+        # composite-key batched resample: the vmapped per-robot grid
+        # machinery was 150 of the 270 ms fleet step (PERF.md round-5
+        # fleet breakdown); pick-for-pick equivalent (test_fleet.py)
+        return pf_filter.fleet_resample(states, params, pools)
     return jax.vmap(
         lambda st, pool: pf_filter.resample(st, params, pool, resample_model)
     )(states, pools)

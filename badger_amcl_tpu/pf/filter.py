@@ -564,6 +564,101 @@ def resample(
 
 
 # ---------------------------------------------------------------------------
+# Fleet resampling (batched robots, composite-key KLD/cluster machinery)
+
+
+def fleet_resample(states, params: PFParams, pools) -> "MCLState":
+    """Batched `resample` (multinomial) for stacked fleet states (leading
+    robot axis R): the picks stay vmapped (they measured ~free batched),
+    but the KLD stop and cluster ranks run on COMPOSITE-KEY sorts over the
+    flattened (R*M) axis instead of per-robot grid scatters/gathers — the
+    round-5 fleet breakdown put 126 of the 150 ms vmapped resample in
+    exactly those (PERF.md "Fleet-step breakdown"). Pick-for-pick
+    BIT-EQUivalent to vmap(resample) (same key splits, same draws, same
+    first-occurrence and rank semantics); falls back to the vmapped grid
+    rank path when the fleet-wide unique-bin count exceeds
+    cluster.FLEET_U_MAX."""
+    r = states.poses.shape[0]
+    m = params.max_samples
+
+    def head(st, pool):
+        key, sub = jax.random.split(st.key)
+        w_diff = jnp.where(
+            st.w_slow > 0.0,
+            jnp.maximum(
+                0.0,
+                1.0 - st.w_fast / jnp.where(st.w_slow > 0, st.w_slow, 1.0),
+            ),
+            0.0,
+        )
+        k1, k2 = jax.random.split(sub)
+        use_random = jax.random.uniform(k1, (m,)) < w_diff
+        rr = jax.random.uniform(k2, (m,))
+        idx = _pick_indices(st.weights, rr)
+        picked = mxu_gather.gather_rows(st.poses, idx)
+        new_poses = jnp.where(use_random[:, None], pool, picked)
+        ones = jnp.ones((m,), bool)
+        _, flat = kld.grid_cells(kld.bin_keys(new_poses), ones,
+                                 params.hist_shape)
+        return key, w_diff, new_poses, flat
+
+    keys, w_diff, new_poses, flat = jax.vmap(head)(states, pools)
+
+    # mid-stream KLD stop (particle_filter.cpp:416), batched prefix form
+    ones_rm = jnp.ones((r, m), bool)
+    flags = kld.first_occurrence_flags_fleet(flat, ones_rm, params.hist_shape)
+    k_n = jnp.cumsum(flags.astype(jnp.int32), axis=1)
+    limit_n = kld.resample_limit(
+        k_n, params.min_samples, params.max_samples, params.pop_err,
+        params.pop_z,
+    )
+    n_1based = jnp.arange(1, m + 1, dtype=jnp.int32)[None, :]
+    stop = n_1based > limit_n
+    new_count = jnp.where(
+        jnp.any(stop, axis=1),
+        jnp.argmax(stop, axis=1).astype(jnp.int32) + 1,
+        jnp.int32(m),
+    )
+    act2 = jnp.arange(m, dtype=jnp.int32)[None, :] < new_count[:, None]
+
+    rank_f, cc_f, fits = cluster._ranks_fleet(
+        jnp.where(act2, flat, 0), act2, params.hist_shape
+    )
+
+    def grid_arm(_):
+        return jax.vmap(
+            lambda fl, ac: cluster._ranks_grid_path(
+                jnp.where(ac, fl, 0), ac, params.hist_shape)
+        )(flat, act2)
+
+    rank_p, cluster_count = jax.lax.cond(
+        fits, lambda _: (rank_f, cc_f), grid_arm, operand=None
+    )
+
+    weights = jnp.where(act2, 1.0 / new_count[:, None].astype(jnp.float32),
+                        0.0)
+    reset = w_diff > 0.0
+    new_states = states.replace(
+        poses=new_poses.astype(jnp.float32),
+        weights=weights.astype(jnp.float32),
+        n_active=new_count.astype(jnp.int32),
+        key=keys,
+        w_slow=jnp.where(reset, 0.0, states.w_slow),
+        w_fast=jnp.where(reset, 0.0, states.w_fast),
+    )
+
+    def tail(st, rp, cc):
+        stats = cluster.compute_cluster_stats(
+            st.poses, st.weights, st.active_mask, params,
+            precomputed_ranks=(rp, cc),
+        )
+        return update_converged(st.replace(stats=stats), params,
+                                mean_xy=stats.mean[:2])
+
+    return jax.vmap(tail)(new_states, rank_p, cluster_count)
+
+
+# ---------------------------------------------------------------------------
 # Cell-space resampling contract
 #
 # PERF.md "Floor accounting": the pick-level multinomial pins ~0.8 ms of

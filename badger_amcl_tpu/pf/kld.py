@@ -138,6 +138,35 @@ def leaf_count_sorted(poses: jnp.ndarray, active: jnp.ndarray, shape):
     return jnp.sum(segstart).astype(jnp.int32)
 
 
+def first_occurrence_flags_fleet(flat, active, shape):
+    """Batched `first_occurrence_flags` via ONE composite-key sort over the
+    flattened (robots x particles) axis: key = robot * n_cells + bin.
+
+    The vmapped grid formulation pays a per-particle scatter-min + grid
+    gather (~8-12 ns/index — 53 ms across a 256 x 10k fleet, the round-5
+    breakdown); flat 2.56M-element sorts cost ~3 ms. Exactly equivalent:
+    within one robot the composite order is bin order, and stability keeps
+    draw order within a bin, so segment starts are the per-robot
+    first-occurrence events.
+
+    flat (R, M) int32 in [0, n_cells); active (R, M). Returns (R, M)."""
+    r, m = flat.shape
+    gx, gy, ga = shape
+    n_cells = gx * gy * ga
+    comp = jnp.where(
+        active, jnp.arange(r, dtype=jnp.int32)[:, None] * n_cells + flat, BIG
+    ).reshape(-1)
+    draw = jnp.arange(r * m, dtype=jnp.int32)
+    ks, idx_s = jax.lax.sort((comp, draw), num_keys=1, is_stable=True)
+    segstart = (ks < BIG) & jnp.concatenate(
+        [jnp.ones((1,), bool), ks[1:] != ks[:-1]]
+    )
+    _, flags = jax.lax.sort(
+        (idx_s, segstart.astype(jnp.int32)), num_keys=1, is_stable=True
+    )
+    return flags.reshape(r, m).astype(bool)
+
+
 def resample_limit(k, min_samples: int, max_samples: int, pop_err: float, pop_z: float):
     """Fox et al. KLD population bound, exactly as particle_filter.cpp:475-502.
 

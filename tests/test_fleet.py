@@ -326,3 +326,58 @@ def test_fleet_subset_global_localization():
         xy_spread_after, xy_spread0)
     top_w = np.asarray(jnp.max(got.stats.cluster_weights, axis=-1))[:3]
     assert (top_w > 0.3).all(), top_w
+
+
+def test_fleet_resample_matches_vmapped_resample():
+    """The composite-key fleet resample (pf_filter.fleet_resample) must be
+    pick-for-pick EQUAL to vmap(pf_filter.resample) — same key splits and
+    draws, and the composite-sort KLD stop / cluster-rank machinery is an
+    exact reformulation of the per-robot grid path (round-5 fleet
+    breakdown optimization)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from badger_amcl_tpu.fleet import fleet_init
+    from badger_amcl_tpu.pf import filter as pf_filter
+    from badger_amcl_tpu.pf.types import PFParams
+
+    r, n = 6, 512
+    params = PFParams(min_samples=32, max_samples=n, hist_x=32, hist_y=32,
+                      stats_max_clusters=64)
+    key = jax.random.PRNGKey(0)
+    means = jnp.asarray(
+        np.random.default_rng(0).uniform(-3, 3, (r, 3)), jnp.float32)
+    covs = jnp.tile(jnp.diag(jnp.array([0.3, 0.3, 0.1])), (r, 1, 1))
+    states = fleet_init(params, key, means, covs)
+    # non-uniform weights + collapsed averages so w_diff/injection engage
+    rng = np.random.default_rng(1)
+    w = rng.uniform(0.5, 2.0, (r, n)).astype(np.float32)
+    w /= w.sum(axis=1, keepdims=True)
+    states = states.replace(
+        weights=jnp.asarray(w),
+        w_slow=jnp.full((r,), 0.4, jnp.float32),
+        w_fast=jnp.full((r,), 0.3, jnp.float32),
+    )
+    pools = jnp.asarray(rng.uniform(-4, 4, (r, n, 3)), jnp.float32)
+
+    got = jax.jit(lambda s, p: pf_filter.fleet_resample(s, params, p))(
+        states, pools)
+    want = jax.jit(jax.vmap(
+        lambda st, pool: pf_filter.resample(st, params, pool)
+    ))(states, pools)
+
+    np.testing.assert_array_equal(np.asarray(got.poses),
+                                  np.asarray(want.poses))
+    np.testing.assert_array_equal(np.asarray(got.n_active),
+                                  np.asarray(want.n_active))
+    np.testing.assert_array_equal(np.asarray(got.stats.cluster_count),
+                                  np.asarray(want.stats.cluster_count))
+    # cluster ranks are identical, so per-cluster weights line up exactly
+    np.testing.assert_allclose(np.asarray(got.stats.cluster_weights),
+                               np.asarray(want.stats.cluster_weights),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.stats.mean),
+                               np.asarray(want.stats.mean), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.converged),
+                                  np.asarray(want.converged))
