@@ -81,7 +81,12 @@ def main():
             lambda st, pool: pf_filter.resample(st, params, pool)
         )(s, pools)
 
-    out["resample_full_ms"] = timed(resample_full, states)
+    out["resample_full_vmapped_ms"] = timed(resample_full, states)
+
+    def resample_composite(s):
+        return pf_filter.fleet_resample(s, params, pools)
+
+    out["resample_full_composite_ms"] = timed(resample_composite, states)
 
     print(json.dumps(out, indent=1))
 

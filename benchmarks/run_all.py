@@ -68,10 +68,11 @@ def bench_2d_lf(backend):
     omap, params, state, scan, sp, pool = _build_setup(
         500, 180, 1024, pose_cov=(0.02, 0.02, 0.002), min_particles=500
     )
+    env = (omap, scan, pool)
     dt, _ = _time_chain(
-        lambda s: mcl.sensor_resample_step_jit(s, omap, sp, scan, pool, params,
-                                               backend=backend),
-        state,
+        lambda s, e: mcl.sensor_resample_step(
+            s, e[0], sp, e[1], e[2], params, backend=backend),
+        state, env=env,
     )
     return {"config": "2d_lf_500x180", "step_ms": dt * 1e3,
             "evals_per_sec": 500 * 180 / dt}
@@ -86,11 +87,14 @@ def bench_2d_beam(backend):
     )
     if backend.startswith("pallas_corr"):
         omap = omap.with_range_image(256)  # one-time bake for the fast mode
+    # env, NOT closure: the chained-loop jit would embed the ~512 MB baked
+    # range image as an HLO literal (HTTP 413 through the tunnel)
+    env = (omap, scan, pool)
     dt, _ = _time_chain(
-        lambda s: mcl.sensor_resample_step_jit(
-            s, omap, sp, scan, pool, params, laser_model="beam", backend=backend
-        ),
-        state, iters=30,
+        lambda s, e: mcl.sensor_resample_step(
+            s, e[0], sp, e[1], e[2], params, laser_model="beam",
+            backend=backend),
+        state, iters=30, env=env,
     )
     return {"config": "2d_beam_5000x720", "step_ms": dt * 1e3,
             "evals_per_sec": 5000 * 720 / dt}
@@ -175,10 +179,11 @@ def bench_kld_sweep(backend):
         omap, params, state, scan, sp, pool = _build_setup(
             n, 180, 1024, pose_cov=(4.0, 4.0, 1.5), min_particles=max(50, n // 100)
         )
+        env = (omap, scan, pool)
         dt, s_end = _time_chain(
-            lambda s: mcl.sensor_resample_step_jit(s, omap, sp, scan, pool, params,
-                                                   backend=backend),
-            state, iters=20,
+            lambda s, e: mcl.sensor_resample_step(
+                s, e[0], sp, e[1], e[2], params, backend=backend),
+            state, iters=20, env=env,
         )
         import jax
 
